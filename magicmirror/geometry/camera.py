@@ -1,0 +1,102 @@
+"""Camera math: spherical placement, look-at transform, perspective projection.
+
+Numerics mirror the reference formulas (reference smr_utils.py:257-311 and
+kaolin's ``generate_perspective_projection`` / ``prepare_vertices`` as used at
+reference networks.py:172-174, 284-287) so camera parity is testable, but the
+implementation is jnp end-to-end and shape-polymorphic over the batch axis.
+
+Conventions (used consistently across the framework):
+  * world/camera: right-handed, camera looks down its -z axis, up is +y.
+  * NDC image coords: x,y in [-1, 1]; +y is UP, i.e. image row 0 (top) maps
+    to y = +1.  x_img = fx * x_cam / (-z_cam), likewise for y.
+"""
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+
+def camera_position_from_spherical_angles(dist, elev, azim, degrees: bool = True):
+    """Camera xyz from (distance, elevation, azimuth); reference smr_utils.py:257-281.
+
+    Broadcasts over leading batch dims; returns (N, 3).
+    """
+    dist = jnp.asarray(dist, dtype=jnp.float32)
+    elev = jnp.asarray(elev, dtype=jnp.float32)
+    azim = jnp.asarray(azim, dtype=jnp.float32)
+    if degrees:
+        elev = math.pi / 180.0 * elev
+        azim = math.pi / 180.0 * azim
+    x = dist * jnp.cos(elev) * jnp.sin(azim)
+    y = dist * jnp.sin(elev)
+    z = dist * jnp.cos(elev) * jnp.cos(azim)
+    camera_position = jnp.stack([x, y, z], axis=-1)
+    return camera_position.reshape(-1, 3)
+
+
+def generate_transformation_matrix(camera_position, look_at, camera_up_direction):
+    """Look-at world→camera transform, shape (B, 4, 3); reference smr_utils.py:284-311.
+
+    ``P_cam = [P_world, 1] @ T`` with T = [[R], [t]].
+    """
+    z_axis = camera_position - look_at
+    z_axis = z_axis / jnp.linalg.norm(z_axis, axis=1, keepdims=True)
+    x_axis = jnp.cross(camera_up_direction, z_axis)
+    x_axis = x_axis / jnp.linalg.norm(x_axis, axis=1, keepdims=True)
+    y_axis = jnp.cross(z_axis, x_axis)
+    rot_part = jnp.stack([x_axis, y_axis, z_axis], axis=2)  # (B, 3, 3)
+    trans_part = -camera_position[:, None, :] @ rot_part  # (B, 1, 3)
+    return jnp.concatenate([rot_part, trans_part], axis=1)  # (B, 4, 3)
+
+
+def perspective_projection(fovy: float, ratio: float = 1.0) -> jnp.ndarray:
+    """Focal factors [fx, fy] for a pinhole camera, matching kaolin's
+    ``generate_perspective_projection(fovyangle, ratio)`` where ``ratio`` is
+    width/height (reference networks.py:172-174 passes ratio=1/(H/W))."""
+    tanfov = math.tan(fovy / 2.0)
+    return jnp.array([1.0 / (ratio * tanfov), 1.0 / tanfov], dtype=jnp.float32)
+
+
+def transform_vertices(vertices, camera_transform):
+    """Apply the (B, 4, 3) look-at transform to (B, V, 3) world vertices."""
+    rot = camera_transform[:, :3, :]  # (B, 3, 3)
+    trans = camera_transform[:, 3:4, :]  # (B, 1, 3)
+    return vertices @ rot + trans
+
+
+def project_vertices(vertices_camera, cam_proj):
+    """Perspective-project (B, V, 3) camera-space vertices to (B, V, 2) NDC.
+
+    Camera looks down -z so visible points have z < 0; x_img = fx*x/(-z).
+    """
+    z = vertices_camera[..., 2:3]
+    return vertices_camera[..., :2] * cam_proj / (-z)
+
+
+def prepare_vertices(vertices, faces, camera_proj, camera_transform):
+    """Camera-transform, project, and gather per-face data — the jnp analog of
+    kaolin ``prepare_vertices`` as called at reference networks.py:284-287.
+
+    Returns:
+      face_vertices_camera: (B, F, 3, 3)
+      face_vertices_image:  (B, F, 3, 2) NDC xy
+      face_normals:         (B, F, 3) unit normals in camera space
+    """
+    vertices_camera = transform_vertices(vertices, camera_transform)
+    vertices_image = project_vertices(vertices_camera, camera_proj)
+    face_vertices_camera = vertices_camera[:, faces]  # (B, F, 3, 3)
+    face_vertices_image = vertices_image[:, faces]  # (B, F, 3, 2)
+    face_normals = face_normals_from_vertices(face_vertices_camera, unit=True)
+    return face_vertices_camera, face_vertices_image, face_normals
+
+
+def face_normals_from_vertices(face_vertices, unit: bool = False):
+    """Per-face normals from (..., F, 3, 3) face vertices (CCW winding)."""
+    v0 = face_vertices[..., 0, :]
+    v1 = face_vertices[..., 1, :]
+    v2 = face_vertices[..., 2, :]
+    n = jnp.cross(v1 - v0, v2 - v0)
+    if unit:
+        n = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-12)
+    return n

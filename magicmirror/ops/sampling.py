@@ -1,0 +1,141 @@
+"""Differentiable grid sampling (bilinear / bicubic) for TPU.
+
+The jnp replacement for every ``torch.nn.functional.grid_sample`` call site in
+the reference (reference network/model_res.py:199, 321, 514, 599) and for
+kaolin's ``texture_mapping`` (reference networks.py:305).
+
+Implemented as batched gathers + weighted sums — XLA fuses the arithmetic and
+lowers the gathers efficiently; no scatter, no dynamic shapes.  Layout is NHWC
+(TPU-native); callers that think in NCHW should transpose at the boundary.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _unnormalize(coord, size: int, align_corners: bool):
+    """Map [-1,1] grid coords to float pixel indices (torch convention)."""
+    if align_corners:
+        return (coord + 1.0) * 0.5 * (size - 1)
+    return ((coord + 1.0) * size - 1.0) * 0.5
+
+
+def _gather_2d(image, ix, iy, padding_mode: str):
+    """Gather image[n, iy, ix, :] with integer index maps.
+
+    image: (N, H, W, C); ix, iy: (N, P) int32. Returns (N, P, C) and the
+    in-bounds validity mask (N, P, 1) (all-ones for 'border')."""
+    N, H, W, C = image.shape
+    valid = (
+        (ix >= 0) & (ix <= W - 1) & (iy >= 0) & (iy <= H - 1)
+    )
+    ixc = jnp.clip(ix, 0, W - 1)
+    iyc = jnp.clip(iy, 0, H - 1)
+    flat = image.reshape(N, H * W, C)
+    idx = iyc * W + ixc  # (N, P)
+    out = jnp.take_along_axis(flat, idx[..., None], axis=1)
+    if padding_mode == "zeros":
+        out = out * valid[..., None]
+    return out
+
+
+def grid_sample(
+    image,
+    grid,
+    mode: str = "bilinear",
+    padding_mode: str = "zeros",
+    align_corners: bool = False,
+):
+    """Sample ``image`` (N, H, W, C) at ``grid`` (N, Hg, Wg, 2) locations.
+
+    ``grid[..., 0]`` is x (width axis), ``grid[..., 1]`` is y (height axis),
+    both in [-1, 1] — identical semantics to torch's ``grid_sample`` modulo
+    the NHWC layout.  Differentiable w.r.t. both image and grid.
+    """
+    N, H, W, C = image.shape
+    Hg, Wg = grid.shape[1], grid.shape[2]
+    g = grid.reshape(N, Hg * Wg, 2)
+    x = _unnormalize(g[..., 0], W, align_corners)
+    y = _unnormalize(g[..., 1], H, align_corners)
+
+    if mode == "nearest":
+        ix = jnp.round(x).astype(jnp.int32)
+        iy = jnp.round(y).astype(jnp.int32)
+        out = _gather_2d(image, ix, iy, padding_mode)
+    elif mode == "bilinear":
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        wx = x - x0
+        wy = y - y0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        v00 = _gather_2d(image, x0i, y0i, padding_mode)
+        v01 = _gather_2d(image, x0i + 1, y0i, padding_mode)
+        v10 = _gather_2d(image, x0i, y0i + 1, padding_mode)
+        v11 = _gather_2d(image, x0i + 1, y0i + 1, padding_mode)
+        wx = wx[..., None]
+        wy = wy[..., None]
+        out = (
+            v00 * (1 - wx) * (1 - wy)
+            + v01 * wx * (1 - wy)
+            + v10 * (1 - wx) * wy
+            + v11 * wx * wy
+        )
+    elif mode == "bicubic":
+        out = _bicubic_sample(image, x, y, padding_mode)
+    else:
+        raise ValueError(f"unknown grid_sample mode: {mode}")
+
+    return out.reshape(N, Hg, Wg, C)
+
+
+def _cubic_weights(t):
+    """Keys cubic-convolution weights, A = -0.75 (torch's choice), for the 4
+    taps at offsets (-1, 0, 1, 2) relative to floor(x); t = frac(x)."""
+    A = -0.75
+
+    def w_near(d):  # |d| <= 1
+        return ((A + 2) * d - (A + 3)) * d * d + 1
+
+    def w_far(d):  # 1 < |d| < 2
+        return ((A * d - 5 * A) * d + 8 * A) * d - 4 * A
+
+    return (
+        w_far(t + 1.0),
+        w_near(t),
+        w_near(1.0 - t),
+        w_far(2.0 - t),
+    )
+
+
+def _bicubic_sample(image, x, y, padding_mode):
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx = x - x0
+    ty = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    wxs = _cubic_weights(tx)
+    wys = _cubic_weights(ty)
+    out = 0.0
+    for j in range(4):
+        row = 0.0
+        for i in range(4):
+            v = _gather_2d(image, x0i + (i - 1), y0i + (j - 1), padding_mode)
+            row = row + v * wxs[i][..., None]
+        out = out + row * wys[j][..., None]
+    return out
+
+
+def texture_mapping(texture_coordinates, texture_maps, mode: str = "bilinear"):
+    """UV-sample texture maps, kaolin ``texture_mapping`` semantics (reference
+    networks.py:305): uv in [0,1]^2, v=0 at the *bottom* of the texture image.
+
+    texture_coordinates: (B, H, W, 2); texture_maps: (B, Ht, Wt, C) NHWC.
+    Returns (B, H, W, C).
+    """
+    uv = jnp.clip(texture_coordinates, 0.0, 1.0)
+    grid_x = uv[..., 0] * 2.0 - 1.0
+    grid_y = -(uv[..., 1] * 2.0 - 1.0)  # reversed v-coordinate
+    grid = jnp.stack([grid_x, grid_y], axis=-1)
+    return grid_sample(texture_maps, grid, mode=mode, padding_mode="zeros", align_corners=False)
