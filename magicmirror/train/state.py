@@ -1,0 +1,69 @@
+"""Functional train state (replaces the reference's module-buffer mutation:
+netE/netD/optimizers/SWA/template live in one pytree).
+
+The evolved template (reference keeps it as ``netE.vertices_init``,
+networks.py:536, rewritten by the EM update trainer.py:1090-1103) is a
+first-class field here so the EM update is a pure state transition.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class TrainState:
+    params_e: Any
+    stats_e: Any
+    params_d: Any
+    opt_state_e: Any
+    opt_state_d: Any
+    template: jnp.ndarray  # (V, 3) live template (vertices_init)
+    em_step: jnp.ndarray  # scalar, decayed 0.99/update (reference trainer.py:1104)
+    swa_params: Any  # averaged encoder params (SWA), same tree as params_e
+    swa_stats: Any
+    swa_n: jnp.ndarray  # number of models averaged
+    epoch: jnp.ndarray
+    step: jnp.ndarray
+
+
+def create_train_state(rng, netE, netD, opt_e, opt_d, sample_batch, template,
+                       lpl, em_step: float = 0.1):
+    """Initialize all parameters and optimizer states."""
+    k_e, k_d, k_drop = jax.random.split(rng, 3)
+    variables_e = netE.init({"params": k_e, "dropout": k_drop},
+                            sample_batch, template, lpl, train_shape=0,
+                            train=False)
+    params_e = variables_e["params"]
+    stats_e = variables_e.get("batch_stats", {})
+    dis_nc = netD.nc
+    d_in = sample_batch[..., :dis_nc]
+    params_d = netD.init(k_d, d_in)["params"]
+    return TrainState(
+        params_e=params_e,
+        stats_e=stats_e,
+        params_d=params_d,
+        opt_state_e=opt_e.init(params_e),
+        opt_state_d=opt_d.init(params_d),
+        template=jnp.asarray(template),
+        em_step=jnp.asarray(em_step, jnp.float32),
+        swa_params=params_e,
+        swa_stats=stats_e,
+        swa_n=jnp.asarray(0, jnp.int32),
+        epoch=jnp.asarray(0, jnp.int32),
+        step=jnp.asarray(0, jnp.int32),
+    )
+
+
+def swa_update(state: TrainState) -> TrainState:
+    """Equal-weight running average (torch AveragedModel semantics,
+    reference trainer.py:178-180, 532-536)."""
+    n = state.swa_n.astype(jnp.float32)
+    new_swa = jax.tree_util.tree_map(
+        lambda avg, p: avg + (p - avg) / (n + 1.0),
+        state.swa_params, state.params_e)
+    return state.replace(swa_params=new_swa, swa_n=state.swa_n + 1,
+                         swa_stats=state.stats_e)

@@ -1,0 +1,379 @@
+"""The jitted alternating-GAN train step (reference trainer.py:239-518).
+
+One compiled function performs, per iteration:
+  D-step: encode → render (Xer, Xir, Xer90) → critic on detached images →
+          WGAN-GP / LSGAN loss → Adam update of D             (trainer.py:243-418)
+  G-step: critic (updated D) on the SAME rendered images → recon + mesh
+          regularizers + interpolated-cycle + disentangle losses → Adam
+          update of E                                         (trainer.py:420-518)
+
+TPU-first structure: the expensive encoder+render forward runs ONCE under
+``jax.vjp``; the D update consumes its stop-gradient outputs, and the G update
+backpropagates through the saved linearization — the same compute shape as
+the reference's retain-graph trick, with no Python-side graph bookkeeping.
+The learning rates, warm-up factor, and RNG are runtime scalars, so a single
+XLA executable serves the whole schedule; only ``train_shape`` (the
+encoder-freezing policy, 4 distinct values) retraces.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..losses import gan as gan_losses
+from ..losses.chamfer import chamfer_distance
+from ..losses.attributes import angle2xy
+from ..render.renderer import deep_copy
+from .optim import apply_updates_scaled
+
+
+def _white_composite(x):
+    """img*mask + white*(1-mask) on an NHWC RGBA batch (reference
+    smr_utils.py:198-202)."""
+    img, m = x[..., :3], x[..., 3:4]
+    return img * m + (1.0 - m)
+
+
+def _fliplr(x):
+    return x[:, :, ::-1, :]
+
+
+def _random_erase(rng, x):
+    """torchvision RandomErasing(p=1) semantics (reference trainer.py:476):
+    per-sample random rectangle (scale 0.02..0.33, ratio 0.3..3.3) zeroed."""
+    B, H, W, C = x.shape
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    area = jax.random.uniform(k1, (B,), minval=0.02, maxval=0.33) * (H * W)
+    log_ratio = jax.random.uniform(k2, (B,), minval=jnp.log(0.3), maxval=jnp.log(3.3))
+    ratio = jnp.exp(log_ratio)
+    h = jnp.sqrt(area * ratio).astype(jnp.int32).clip(1, H)
+    w = jnp.sqrt(area / ratio).astype(jnp.int32).clip(1, W)
+    top = (jax.random.uniform(k3, (B,)) * (H - h)).astype(jnp.int32)
+    left = (jax.random.uniform(k4, (B,)) * (W - w)).astype(jnp.int32)
+    rows = jnp.arange(H)[None, :, None]
+    cols = jnp.arange(W)[None, None, :]
+    inside = ((rows >= top[:, None, None]) & (rows < (top + h)[:, None, None])
+              & (cols >= left[:, None, None]) & (cols < (left + w)[:, None, None]))
+    return jnp.where(inside[..., None], 0.0, x)
+
+
+def _resample_bad(rng, perm, bad):
+    """Replace permutation entries that point at collapsed samples with random
+    good indices (reference trainer.py:292-308)."""
+    B = perm.shape[0]
+    good = jnp.logical_not(bad)
+    any_good = jnp.any(good)
+    logits = jnp.where(good, 0.0, -1e9)
+    repl = jax.random.categorical(rng, logits[None].repeat(B, 0), axis=-1)
+    return jnp.where(bad[perm] & any_good, repl, perm)
+
+
+def _select_masks(unmask, Xa, Xer90, Xir):
+    """reference trainer.py:370-381."""
+    if unmask == 1:
+        return Xa[..., :3], Xer90[..., :3], Xir[..., :3]
+    if unmask == 0:
+        return _white_composite(Xa), _white_composite(Xer90), _white_composite(Xir)
+    if unmask == 2:
+        return Xa, Xer90, Xir
+    raise ValueError("unmask must be 0/1/2")
+
+
+def regularization(diffRender, Ae, Ai, Aire, opt):
+    """Aggregate mesh/flip/IC regularizers (reference trainer.py:54-74)."""
+    lossR_reg = opt.lambda_reg * (
+        diffRender.calc_reg_loss(Ae) + diffRender.calc_reg_loss(Ai)) / 2.0
+    lossR_flip = opt.lambda_flipz * (
+        diffRender.recon_flip(Ae, L1=opt.flipL1)
+        + diffRender.recon_flip(Ai, L1=opt.flipL1)
+        + diffRender.recon_flip(Aire, L1=opt.flipL1)) / 3.0
+    if opt.lambda_edge > 0:
+        lossR_reg += opt.lambda_edge * (
+            diffRender.calc_reg_edge(Ae["vertices"])
+            + diffRender.calc_reg_edge(Ai["vertices"])) / 2.0
+    if opt.lambda_depth > 0:
+        lossR_reg += opt.lambda_depth * (
+            diffRender.calc_reg_depth(Ae["vertices"])
+            + diffRender.calc_reg_depth(Ai["vertices"])) / 2.0
+    if opt.lambda_depthR > 0:
+        lossR_reg += opt.lambda_depthR * (
+            diffRender.calc_reg_depthR(Ae["vertices"], temp=opt.temp)
+            + diffRender.calc_reg_depthR(Ai["vertices"], temp=opt.temp)) / 2.0
+    if opt.lambda_depthC > 0:
+        lossR_reg += opt.lambda_depthC * (
+            diffRender.calc_reg_depthC(Ae["vertices"])
+            + diffRender.calc_reg_depthC(Ai["vertices"])) / 2.0
+    if opt.lambda_deform > 0:
+        lossR_reg += opt.lambda_deform * (
+            diffRender.calc_reg_deform(Ae["delta_vertices"])
+            + diffRender.calc_reg_deform(Ai["delta_vertices"])) / 2.0
+
+    loss_cam, loss_shape, loss_texture, loss_light, loss_bias = diffRender.recon_att(
+        Aire, deep_copy(Ai, detach=True), L1=opt.L1, chamfer=opt.chamfer,
+        azim=opt.azim)
+    lossR_IC = opt.lambda_ic * (
+        loss_cam + loss_shape + loss_texture + loss_light + loss_bias)
+    return lossR_reg, lossR_flip, lossR_IC
+
+
+def make_train_step(opt, diffRender, netE, netD, opt_e, opt_d, lpl,
+                    precond_M=None, donate: bool = True):
+    """Build the jitted train step.  ``opt`` is the (static) flag namespace."""
+
+    def apply_e(params, stats, x, template, rng, train_shape):
+        variables = {"params": params, "batch_stats": stats}
+        att, mut = netE.apply(
+            variables, x, template, lpl, train_shape=train_shape, train=True,
+            precond_M=precond_M, rngs={"dropout": rng},
+            mutable=["batch_stats"])
+        new_stats = mut["batch_stats"]
+        # frozen branches must not advance their BN running stats (the
+        # reference's deep-copied frozen encoders discard them,
+        # networks.py:583-609)
+        from ..models.attribute_encoder import (
+            CAMERA_FROZEN, SHAPE_FROZEN, TEXTURE_FROZEN)
+
+        new_stats = dict(new_stats)
+        if train_shape in SHAPE_FROZEN and "shape_enc" in new_stats:
+            new_stats["shape_enc"] = stats["shape_enc"]
+        if train_shape in CAMERA_FROZEN and "camera_enc" in new_stats:
+            new_stats["camera_enc"] = stats["camera_enc"]
+        if train_shape in TEXTURE_FROZEN:
+            for k in ("texture_enc", "light_enc"):
+                if k in new_stats:
+                    new_stats[k] = stats[k]
+        return att, new_stats
+
+    def apply_d(params, x):
+        return netD.apply({"params": params}, x)
+
+    def e_outputs(params_e, stats_e, Xa, template, rng, train_shape):
+        """Everything downstream of the encoder parameters, in one forward."""
+        ks = jax.random.split(rng, 12)
+        B = Xa.shape[0]
+
+        Ae, stats1 = apply_e(params_e, stats_e, Xa, template, ks[0], train_shape)
+        Xer, Ae = diffRender.render(no_mask=opt.bg, **Ae)
+
+        # hard negatives: random large azimuths (reference trainer.py:279-289)
+        if opt.hard:
+            Ae90 = deep_copy(Ae)
+            branch = jax.random.bernoulli(ks[1])
+            az1 = -jax.random.uniform(ks[2], (B,), minval=opt.hard_range,
+                                      maxval=180.0 - opt.hard_range)
+            az2 = -jax.random.uniform(ks[2], (B,), minval=0.0, maxval=180.0)
+            az = jnp.where(branch, az1, az2)
+            sign = jnp.where(jax.random.uniform(ks[3], (B,)) < 0.5, -1.0, 1.0)
+            Ae90["azimuths"] = az * sign
+        else:
+            Ae90 = None
+
+        # collapse guard + interpolation partners (reference trainer.py:292-342)
+        mean_delta = jnp.mean(jnp.abs(Ae["delta_vertices"])[:, -1], axis=1)
+        bad = mean_delta > 0.4
+        rand_a = jax.random.permutation(ks[4], B)
+        rand_b = jax.random.permutation(ks[5], B)
+        if opt.inv == 0:
+            rand_a = _resample_bad(ks[6], rand_a, bad)
+            rand_b = _resample_bad(ks[7], rand_b, bad)
+        Aa = deep_copy(Ae, rand_a)
+        Ab = deep_copy(Ae, rand_b)
+
+        if opt.lambda_ic > 0.0:
+            Ai = {}
+            Ai["azimuths"] = -jax.random.uniform(
+                ks[8], (B,), minval=-opt.azi_scope / 2, maxval=opt.azi_scope / 2)
+            elev_min, elev_max = [float(v) for v in opt.elev_range.split("~")]
+            dist_min, dist_max = [float(v) for v in opt.dist_range.split("~")]
+            kk = jax.random.split(ks[9], 5)
+            Ai["elevations"] = jax.random.uniform(kk[0], (B,), minval=elev_min,
+                                                  maxval=elev_max)
+            Ai["distances"] = jax.random.uniform(kk[1], (B,), minval=dist_min,
+                                                 maxval=dist_max)
+            Ai["biases"] = jax.random.uniform(kk[2], (B, 2),
+                                              minval=-opt.bias_range,
+                                              maxval=opt.bias_range)
+            if opt.beta > 0:
+                beta = min(1.0, opt.beta)
+                alpha = jax.random.beta(kk[3], beta, beta, (B,))
+                alpha_texture = alpha.reshape(B, 1, 1, 1)
+                alpha_shape = (1.0 - alpha).reshape(B, 1, 1)
+            else:
+                alpha_texture = jax.random.uniform(kk[3], (B, 1, 1, 1))
+                alpha_shape = jax.random.uniform(kk[4], (B, 1, 1))
+            Ai["vertices"] = alpha_shape * Aa["vertices"] + (1 - alpha_shape) * Ab["vertices"]
+            Ai["delta_vertices"] = (alpha_shape * Aa["delta_vertices"]
+                                    + (1 - alpha_shape) * Ab["delta_vertices"])
+            Ai["textures"] = (alpha_texture * Aa["textures"]
+                              + (1.0 - alpha_texture) * Ab["textures"])
+            if opt.bg:
+                Ai["bg"] = (alpha_texture * Aa["bg"]
+                            + (1.0 - alpha_texture) * Ab["bg"])
+            else:
+                Ai["bg"] = None
+            alpha_light = jax.random.uniform(kk[4], (B, 1))
+            Ai["lights"] = (alpha_light * Aa["lights"]
+                            + (1.0 - alpha_light) * Ab["lights"])
+        else:
+            Ai = Ae
+
+        Xir, Ai = diffRender.render(no_mask=opt.bg, **Ai)
+        if opt.hard:
+            Xer90, Ae90 = diffRender.render(no_mask=opt.bg, **Ae90)
+        else:
+            Xer90 = Xer
+
+        Aire, stats2 = apply_e(params_e, stats1,
+                               jax.lax.stop_gradient(Xir), template,
+                               ks[10], 0)
+        _, Aire = diffRender.render(no_mask=opt.bg, **Aire)
+
+        Ma, Mer90, Mir = _select_masks(opt.unmask, Xa, Xer90, Xir)
+
+        outs = {
+            "Xer": Xer, "Xir": Xir, "Xer90": Xer90,
+            "Ma": Ma, "Mer90": Mer90, "Mir": Mir,
+            "Ae": Ae, "Ai": Ai, "Aire": Aire,
+        }
+        # disentangle branches (reference trainer.py:456-494)
+        if opt.dis1 > 0:
+            Ae_fliplr, stats2 = apply_e(params_e, stats2, _fliplr(Xa),
+                                        template, ks[11], 0)
+            outs["Ae_fliplr"] = Ae_fliplr
+        if opt.dis2 > 0:
+            k_er, k_en = jax.random.split(ks[11])
+            Ae_jitter, stats2 = apply_e(params_e, stats2,
+                                        _random_erase(k_er, Xa), template,
+                                        k_en, 0)
+            outs["Ae_jitter"] = Ae_jitter
+        return outs, stats2
+
+    def d_loss_fn(params_d, outs, rng, warm_up):
+        Ma = jax.lax.stop_gradient(outs["Ma"])
+        Mer90 = jax.lax.stop_gradient(outs["Mer90"])
+        Mir = jax.lax.stop_gradient(outs["Mir"])
+        B = Ma.shape[0]
+        d_fn = lambda x: apply_d(params_d, x)
+        k1, k2 = jax.random.split(rng)
+        if opt.gan_type == "wgan":
+            out_all = d_fn(jnp.concatenate([Ma, Mer90, Mir], axis=0))
+            o0, o1, o2 = jnp.split(out_all, 3, axis=0)
+            gp = (gan_losses.gradient_penalty(d_fn, Ma, Mer90, k1)
+                  + opt.ganw * gan_losses.gradient_penalty(d_fn, Ma, Mir, k2)
+                  ) / (1.0 + opt.ganw)
+            lossD, lD_r, lD_f, lD_gp = gan_losses.d_loss_wgan(
+                o0, o1, o2, gp, opt.lambda_gan, opt.ganw, opt.gan_reg)
+        else:
+            outs_all = d_fn(jnp.concatenate([Ma, Mer90, Mir], axis=0))
+            o0 = [o[:B] for o in outs_all]
+            o1 = [o[B:2 * B] for o in outs_all]
+            o2 = [o[2 * B:] for o in outs_all]
+            gp = (gan_losses.gradient_penalty_list(d_fn, Ma, Mer90, k1)
+                  + opt.ganw * gan_losses.gradient_penalty_list(d_fn, Ma, Mir, k2)
+                  ) / (1.0 + opt.ganw)
+            lossD, lD_r, lD_f, lD_gp = gan_losses.d_loss_lsgan(
+                o0, o1, o2, gp, opt.lambda_gan, opt.ganw, opt.gan_reg)
+        lossD = lossD * warm_up
+        return lossD, (lD_r, lD_f, lD_gp)
+
+    def e_loss_fn(outs, params_d, Xa, Va, warm_up):
+        B = Xa.shape[0]
+        d_fn = lambda x: apply_d(params_d, x)
+        if opt.gan_type == "wgan":
+            out_all = d_fn(jnp.concatenate([outs["Mer90"], outs["Mir"]], axis=0))
+            o1, o2 = jnp.split(out_all, 2, axis=0)
+            lossR_fake = gan_losses.g_loss_wgan(o1, o2, opt.lambda_gan, opt.ganw)
+        else:
+            outs_all = d_fn(jnp.concatenate([outs["Mer90"], outs["Mir"]], axis=0))
+            o1 = [o[:B] for o in outs_all]
+            o2 = [o[B:] for o in outs_all]
+            lossR_fake = gan_losses.g_loss_lsgan(o1, o2, opt.lambda_gan, opt.ganw)
+
+        lossR_data = opt.lambda_data * diffRender.recon_data(
+            outs["Xer"], Xa, no_mask=opt.bg, contour=opt.lambda_contour)
+        if opt.hmr > 0 and Va is not None:
+            cham, _ = chamfer_distance(outs["Ae"]["vertices"], Va)
+            lossR_data = lossR_data + opt.hmr * cham
+
+        lossR_reg, lossR_flip, lossR_IC = regularization(
+            diffRender, outs["Ae"], outs["Ai"], outs["Aire"], opt)
+
+        lossR_dis = 0.0
+        if opt.dis1 > 0:
+            Ae, Af = outs["Ae"], outs["Ae_fliplr"]
+            l_text = jnp.mean(jnp.abs(_fliplr(Af["textures"]) - Ae["textures"]))
+            Na = Ae["vertices"] * jnp.array([-1.0, 1.0, 1.0])
+            if opt.chamfer:
+                l_shape, _ = chamfer_distance(Af["vertices"], Na)
+            else:
+                l_shape = jnp.mean(jnp.linalg.norm(
+                    Af["vertices"].reshape(B, -1) - Na.reshape(B, -1), axis=1))
+            lossR_dis += opt.dis1 * (l_text + l_shape)
+        if opt.dis2 > 0:
+            Ae, Aj = outs["Ae"], outs["Ae_jitter"]
+            if opt.chamfer:
+                l_shape, _ = chamfer_distance(Aj["vertices"], Ae["vertices"])
+            else:
+                l_shape = jnp.mean(jnp.linalg.norm(
+                    Aj["delta_vertices"].reshape(B, -1)
+                    - Ae["delta_vertices"].reshape(B, -1), axis=1))
+            l_cam = (opt.azim * jnp.mean((angle2xy(Aj["azimuths"])
+                                          - angle2xy(Ae["azimuths"])) ** 2)
+                     + jnp.mean((angle2xy(Aj["elevations"])
+                                 - angle2xy(Ae["elevations"])) ** 2)
+                     + jnp.mean((Aj["distances"] - Ae["distances"]) ** 2)
+                     + jnp.mean((Aj["biases"] - Ae["biases"]) ** 2))
+            lossR_dis += opt.dis2 * (l_cam + l_shape)
+
+        lossR = (lossR_fake + lossR_reg + lossR_flip + lossR_data + lossR_IC
+                 + lossR_dis) * warm_up
+        metrics = {
+            "lossR": lossR, "lossR_fake": lossR_fake, "lossR_reg": lossR_reg,
+            "lossR_flip": lossR_flip, "lossR_data": lossR_data,
+            "lossR_IC": lossR_IC, "lossR_dis": jnp.asarray(lossR_dis),
+        }
+        return lossR, metrics
+
+    def train_step(state, Xa, rng, lr_e, lr_d, warm_up, train_shape, Va=None):
+        k_fwd, k_gp = jax.random.split(rng)
+
+        # ---- single encoder+render forward with saved linearization
+        (outs, new_stats), vjp_fn = _vjp_aux(
+            e_outputs, state.params_e, state.stats_e, Xa, state.template,
+            k_fwd, train_shape)
+
+        # ---- D update (reference trainer.py:243-418)
+        (lossD, d_aux), gradD = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            state.params_d, outs, k_gp, warm_up)
+        updD, new_opt_d = opt_d.update(gradD, state.opt_state_d, state.params_d)
+        new_params_d = apply_updates_scaled(state.params_d, updD, lr_d)
+
+        # ---- G update through the saved forward (reference trainer.py:420-518)
+        (lossR, e_metrics), g_outs = jax.value_and_grad(
+            lambda o: e_loss_fn(o, new_params_d, Xa, Va, warm_up),
+            has_aux=True)(outs)
+        (gradE,) = vjp_fn(g_outs)
+        updE, new_opt_e = opt_e.update(gradE, state.opt_state_e, state.params_e)
+        new_params_e = apply_updates_scaled(state.params_e, updE, lr_e)
+
+        metrics = {"lossD": lossD, "lossD_real": d_aux[0],
+                   "lossD_fake": d_aux[1], "lossD_gp": d_aux[2], **e_metrics}
+        new_state = state.replace(
+            params_e=new_params_e, stats_e=new_stats, params_d=new_params_d,
+            opt_state_e=new_opt_e, opt_state_d=new_opt_d,
+            step=state.step + 1)
+        return new_state, metrics, outs["Xer"], outs["Xir"]
+
+    return jax.jit(train_step, static_argnames=("train_shape",),
+                   donate_argnums=(0,) if donate else ())
+
+
+def _vjp_aux(f, params, *args):
+    """jax.vjp with auxiliary output: f(params, *args) -> (outs, aux)."""
+    (outs, aux), vjp_fn = jax.vjp(lambda p: f(p, *args), params, has_aux=False)
+    # vjp over the (outs, aux) pair: wrap so aux gets zero cotangent
+    def vjp_outs(g_outs):
+        zero_aux = jax.tree_util.tree_map(jnp.zeros_like, aux)
+        return vjp_fn((g_outs, zero_aux))
+
+    return (outs, aux), vjp_outs
