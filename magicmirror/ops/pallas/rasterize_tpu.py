@@ -1,0 +1,216 @@
+"""Pallas TPU kernel for rasterization phase 1 (SURVEY.md §2.2: "THE hard
+kernel" replacing kaolin's CUDA DIB-R rasterizer).
+
+Computes, per pixel, the winning (closest front-facing covering) face id and
+the soft-silhouette log-accumulator sum_f log(1-p_f) — the two O(pixels x
+faces) reductions.  Phase 2 (differentiable barycentric interpolation of the
+winner) stays in XLA (magicmirror/ops/rasterize.py).
+
+Kernel design:
+  * grid over pixel tiles (TP pixels per program); all face data for the mesh
+    is packed into one (14, F) VMEM-resident array (~70 KB at F=1280 — far
+    under the 16 MB VMEM budget, so faces load once per program);
+  * the face loop runs in chunks of C=128 (one lane row per face) with a
+    per-chunk tile-bbox cull: a chunk whose faces' (margin-expanded) bboxes
+    all miss this tile's bbox skips its math entirely via jnp.where on a
+    cheap test — with spatially-coherent face ordering this cuts most work;
+  * the (TP, C) blocks map to (sublane, lane) VPU tiles; no MXU needed.
+
+Gradient story: the hard winner needs no gradient (phase 2 re-derives it);
+the soft sum gets a custom VJP whose backward recomputes through the XLA
+scan implementation — forward throughput (the serving/bench path) is pure
+Pallas, training backward reuses the already-validated autodiff path.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# packed face-row layout
+_AX, _AY, _BX, _BY, _CX, _CY, _Z0, _Z1, _Z2, _FNZ, _XMIN, _XMAX, _YMIN, _YMAX = range(14)
+
+_DEN_EPS = 1e-10
+_P_CLAMP = 1.0 - 1e-7
+# faces farther than this (NDC) from a pixel contribute p < 1e-14 at the
+# default sigmainv=7000 — safe to cull
+_SOFT_MARGIN = 0.07
+
+
+def _pack_faces(fvi, fz, fnz, chunk: int):
+    """(F,3,2)/(F,3)/(F,) → (14, F_pad) packed rows, F padded to ``chunk``."""
+    F = fvi.shape[0]
+    pad = (-F) % chunk
+    if pad:
+        fvi = jnp.concatenate([fvi, jnp.zeros((pad, 3, 2), fvi.dtype)], 0)
+        fz = jnp.concatenate([fz, jnp.zeros((pad, 3), fz.dtype)], 0)
+        fnz = jnp.concatenate([fnz, jnp.full((pad,), -1.0, fnz.dtype)], 0)
+    xs = fvi[:, :, 0]
+    ys = fvi[:, :, 1]
+    rows = [fvi[:, 0, 0], fvi[:, 0, 1], fvi[:, 1, 0], fvi[:, 1, 1],
+            fvi[:, 2, 0], fvi[:, 2, 1], fz[:, 0], fz[:, 1], fz[:, 2], fnz,
+            xs.min(1), xs.max(1), ys.min(1), ys.max(1)]
+    return jnp.stack(rows, axis=0)
+
+
+def _kernel(px_ref, py_ref, faces_ref, idx_ref, sumlog_ref, *, n_chunks,
+            chunk, sigmainv):
+    px = px_ref[0, :]  # (TP,)
+    py = py_ref[0, :]
+    TP = px.shape[0]
+    p_x = px[:, None]  # (TP, 1)
+    p_y = py[:, None]
+
+    tile_xmin = jnp.min(px) - _SOFT_MARGIN
+    tile_xmax = jnp.max(px) + _SOFT_MARGIN
+    tile_ymin = jnp.min(py) - _SOFT_MARGIN
+    tile_ymax = jnp.max(py) + _SOFT_MARGIN
+
+    def body(c, carry):
+        best_z, best_idx, sumlog = carry
+        f = faces_ref[:, pl.ds(c * chunk, chunk)]  # (14, C)
+        overlap = ((f[_XMIN] - _SOFT_MARGIN <= tile_xmax)
+                   & (f[_XMAX] + _SOFT_MARGIN >= tile_xmin)
+                   & (f[_YMIN] - _SOFT_MARGIN <= tile_ymax)
+                   & (f[_YMAX] + _SOFT_MARGIN >= tile_ymin)
+                   & (f[_FNZ] > 0.0))
+
+        def compute(carry):
+            best_z, best_idx, sumlog = carry
+            ax, ay = f[_AX][None], f[_AY][None]  # (1, C)
+            bx, by = f[_BX][None], f[_BY][None]
+            cx, cy = f[_CX][None], f[_CY][None]
+            den = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+            safe_den = jnp.where(jnp.abs(den) > _DEN_EPS, den, 1.0)
+            w0 = ((cx - bx) * (p_y - by) - (cy - by) * (p_x - bx)) / safe_den
+            w1 = ((ax - cx) * (p_y - cy) - (ay - cy) * (p_x - cx)) / safe_den
+            w2 = 1.0 - w0 - w1
+            valid = overlap[None] & (jnp.abs(den) > _DEN_EPS)
+            inside = (w0 >= 0.0) & (w1 >= 0.0) & (w2 >= 0.0) & valid
+            z = w0 * f[_Z0][None] + w1 * f[_Z1][None] + w2 * f[_Z2][None]
+            z = jnp.where(inside, z, -jnp.inf)  # (TP, C)
+
+            cb = jnp.argmax(z, axis=1)  # (TP,)
+            cz = jnp.max(z, axis=1)
+            take = cz > best_z
+            best_z = jnp.where(take, cz, best_z)
+            best_idx = jnp.where(take, cb.astype(jnp.int32) + c * chunk,
+                                 best_idx)
+
+            def seg_d2(qx, qy, rx, ry):
+                ex = rx - qx
+                ey = ry - qy
+                t = ((p_x - qx) * ex + (p_y - qy) * ey) / (ex * ex + ey * ey + 1e-12)
+                t = jnp.clip(t, 0.0, 1.0)
+                dx = p_x - qx - t * ex
+                dy = p_y - qy - t * ey
+                return dx * dx + dy * dy
+
+            d2 = jnp.minimum(jnp.minimum(seg_d2(ax, ay, bx, by),
+                                         seg_d2(bx, by, cx, cy)),
+                             seg_d2(cx, cy, ax, ay))
+            d2 = jnp.where(inside, 0.0, d2)
+            p_soft = jnp.where(overlap[None],
+                               _P_CLAMP * jnp.exp(-d2 * sigmainv), 0.0)
+            sumlog = sumlog + jnp.sum(jnp.log1p(-p_soft), axis=1)
+            return best_z, best_idx, sumlog
+
+        return jax.lax.cond(jnp.any(overlap), compute, lambda c_: c_,
+                            (best_z, best_idx, sumlog))
+
+    init = (jnp.full((TP,), -jnp.inf, jnp.float32),
+            jnp.full((TP,), -1, jnp.int32),
+            jnp.zeros((TP,), jnp.float32))
+    best_z, best_idx, sumlog = jax.lax.fori_loop(0, n_chunks, body, init)
+    idx_ref[0, :] = best_idx
+    sumlog_ref[0, :] = sumlog
+
+
+def _phase1_pallas_fwd_impl(px, py, faces_packed, *, tp, chunk, sigmainv,
+                            interpret):
+    P = px.shape[0]
+    n_tiles = P // tp
+    Fp = faces_packed.shape[1]
+    n_chunks = Fp // chunk
+    px2 = px.reshape(n_tiles, tp)
+    py2 = py.reshape(n_tiles, tp)
+
+    kernel = functools.partial(_kernel, n_chunks=n_chunks, chunk=chunk,
+                               sigmainv=sigmainv)
+    best_idx, sumlog = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, tp), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tp), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((14, Fp), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tp), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tp), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, tp), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, tp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(px2, py2, faces_packed)
+    return best_idx.reshape(P), sumlog.reshape(P)
+
+
+def _sumlog_xla(px, py, fvi, fz, fnz, sigmainv):
+    """Reference soft-accumulator used for the backward pass (matches the
+    scan implementation in ops/rasterize.py)."""
+    from ..rasterize import _rasterize_phase1
+
+    _, sumlog = _rasterize_phase1(px, py, fvi, fz, fnz, sigmainv, chunk=256)
+    return sumlog
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _phase1(px, py, fvi, fz, fnz, sigmainv, tp, chunk, interpret):
+    faces_packed = _pack_faces(fvi, fz, fnz, chunk)
+    return _phase1_pallas_fwd_impl(px, py, faces_packed, tp=tp, chunk=chunk,
+                                   sigmainv=sigmainv, interpret=interpret)
+
+
+def _phase1_fwd(px, py, fvi, fz, fnz, sigmainv, tp, chunk, interpret):
+    out = _phase1(px, py, fvi, fz, fnz, sigmainv, tp, chunk, interpret)
+    return out, (px, py, fvi, fz, fnz)
+
+
+def _phase1_bwd(sigmainv, tp, chunk, interpret, res, cots):
+    px, py, fvi, fz, fnz = res
+    _, g_sumlog = cots
+    # best_idx is integer (no cotangent); route the sumlog cotangent through
+    # the XLA implementation's autodiff (forward values match to ~1e-6)
+    _, vjp_fn = jax.vjp(
+        lambda v: _sumlog_xla(px, py, v, fz, fnz, sigmainv), fvi)
+    (g_fvi,) = vjp_fn(g_sumlog)
+    return (None, None, g_fvi, jnp.zeros_like(fz), jnp.zeros_like(fnz))
+
+
+_phase1.defvjp(_phase1_fwd, _phase1_bwd)
+
+
+def rasterize_phase1_pallas(px, py, fvi, fz, fnz, sigmainv=7000.0,
+                            tile_pixels: int = 1024, chunk: int = 128,
+                            interpret: bool | None = None):
+    """Phase-1 rasterization for ONE mesh (vmap over batch at the call site).
+
+    px, py: (P,) NDC pixel centers, P a multiple of ``tile_pixels`` (the
+    caller's H*W; pad if needed).  Returns (best_idx (P,) int32, sumlog (P,)).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    P = px.shape[0]
+    pad = (-P) % tile_pixels
+    if pad:
+        px = jnp.concatenate([px, jnp.full((pad,), 2.0, px.dtype)])
+        py = jnp.concatenate([py, jnp.full((pad,), 2.0, py.dtype)])
+    best_idx, sumlog = _phase1(px, py, fvi, fz, fnz, float(sigmainv),
+                               tile_pixels, chunk, interpret)
+    return best_idx[:P], sumlog[:P]

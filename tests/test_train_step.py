@@ -1,0 +1,103 @@
+"""End-to-end train-step smoke test (SURVEY.md §4: synthetic data, few steps,
+finite decreasing losses) — the 'minimum end-to-end slice'."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from magicmirror.configs.flags import build_parser
+from magicmirror.models.attribute_encoder import AttributeEncoder
+from magicmirror.models.discriminators import Discriminator
+from magicmirror.render.renderer import DiffRender
+from magicmirror.train.optim import make_optimizer_d, make_optimizer_e
+from magicmirror.train.state import create_train_state, swa_update
+from magicmirror.train.train_step import make_train_step
+
+import os
+
+TEMPLATE = os.path.join(os.path.dirname(__file__), "..", "template", "sphere.obj")
+
+
+def tiny_opt(**overrides):
+    opt = build_parser().parse_args([])
+    opt.imageSize = 32  # must be divisible by 32 (5-stage pyramid)
+    opt.batchSize = 2
+    opt.pretrains = "none"
+    opt.pretrainc = "none"
+    opt.pretraint = "none"
+    opt.niter = 4
+    opt.warm_epoch = 1
+    for k, v in overrides.items():
+        setattr(opt, k, v)
+    return opt
+
+
+@pytest.fixture(scope="module")
+def setup():
+    opt = tiny_opt()
+    diffRender = DiffRender(TEMPLATE, opt.imageSize, ratio=opt.ratio,
+                            init_ellipsoid=opt.ellipsoid)
+    netE = AttributeEncoder(
+        num_vertices=diffRender.num_vertices, azi_scope=opt.azi_scope,
+        elev_range=opt.elev_range, dist_range=opt.dist_range,
+        nc=4, nk=opt.nk, nf=opt.nf, ratio=opt.ratio,
+        pretraint=opt.pretraint, pretrainc=opt.pretrainc,
+        pretrains=opt.pretrains, droprate=opt.droprate, norm=opt.norm)
+    netD = Discriminator(nc=3, nf=16)
+    opt_e = make_optimizer_e()
+    opt_d = make_optimizer_d()
+    lpl = diffRender.vertices_laplacian_matrix
+    sample = jnp.zeros((opt.batchSize, opt.imageSize, opt.imageSize, 4))
+    state = create_train_state(jax.random.PRNGKey(0), netE, netD, opt_e,
+                               opt_d, sample, diffRender.vertices_init, lpl)
+    step = make_train_step(opt, diffRender, netE, netD, opt_e, opt_d, lpl,
+                           donate=False)
+    rs = np.random.RandomState(0)
+    # synthetic "photos": soft blobs with masks
+    imgs = rs.rand(opt.batchSize, opt.imageSize, opt.imageSize, 4).astype(np.float32)
+    imgs[..., 3] = 0.0
+    imgs[:, 8:24, 8:24, 3] = 1.0
+    return opt, state, step, jnp.asarray(imgs)
+
+
+def test_train_step_runs_and_updates(setup):
+    opt, state, step, Xa = setup
+    rng = jax.random.PRNGKey(42)
+    state2, metrics, Xer, Xir = step(state, Xa, rng, 1e-4, 1e-4, 1.0, 0)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    assert Xer.shape == Xa.shape
+    # parameters actually moved
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.params_e, state2.params_e)
+    assert max(jax.tree_util.tree_leaves(diff)) > 0
+    diff_d = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.params_d, state2.params_d)
+    assert max(jax.tree_util.tree_leaves(diff_d)) > 0
+    # batch stats advanced
+    assert int(state2.step) == int(state.step) + 1
+
+
+def test_train_step_loss_trends_down(setup):
+    opt, state, step, Xa = setup
+    rng = jax.random.PRNGKey(7)
+    losses = []
+    for i in range(6):
+        rng, sub = jax.random.split(rng)
+        state, metrics, _, _ = step(state, Xa, sub, 3e-4, 3e-4, 1.0,
+                                    (0 if i % 2 == 0 else 2))
+        losses.append(float(metrics["lossR_data"]))
+    assert np.isfinite(losses).all()
+    # recon loss should not explode, and should improve on average
+    assert np.mean(losses[-2:]) < np.mean(losses[:2]) + 0.05
+
+
+def test_swa_update(setup):
+    opt, state, step, Xa = setup
+    s1 = swa_update(state)
+    assert int(s1.swa_n) == 1
+    # first average equals current params
+    d = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()),
+                               s1.swa_params, state.params_e)
+    assert max(jax.tree_util.tree_leaves(d)) == 0
