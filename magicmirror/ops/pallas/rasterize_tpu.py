@@ -58,16 +58,14 @@ def _pack_faces(fvi, fz, fnz, chunk: int):
 
 def _kernel(px_ref, py_ref, faces_ref, idx_ref, sumlog_ref, *, n_chunks,
             chunk, sigmainv):
-    px = px_ref[0, :]  # (TP,)
-    py = py_ref[0, :]
-    TP = px.shape[0]
-    p_x = px[:, None]  # (TP, 1)
-    p_y = py[:, None]
+    p_x = px_ref[:]  # (TP, 1) — pixels on sublanes, faces on lanes
+    p_y = py_ref[:]
+    TP = p_x.shape[0]
 
-    tile_xmin = jnp.min(px) - _SOFT_MARGIN
-    tile_xmax = jnp.max(px) + _SOFT_MARGIN
-    tile_ymin = jnp.min(py) - _SOFT_MARGIN
-    tile_ymax = jnp.max(py) + _SOFT_MARGIN
+    tile_xmin = jnp.min(p_x) - _SOFT_MARGIN
+    tile_xmax = jnp.max(p_x) + _SOFT_MARGIN
+    tile_ymin = jnp.min(p_y) - _SOFT_MARGIN
+    tile_ymax = jnp.max(p_y) + _SOFT_MARGIN
 
     def body(c, carry):
         best_z, best_idx, sumlog = carry
@@ -93,8 +91,8 @@ def _kernel(px_ref, py_ref, faces_ref, idx_ref, sumlog_ref, *, n_chunks,
             z = w0 * f[_Z0][None] + w1 * f[_Z1][None] + w2 * f[_Z2][None]
             z = jnp.where(inside, z, -jnp.inf)  # (TP, C)
 
-            cb = jnp.argmax(z, axis=1)  # (TP,)
-            cz = jnp.max(z, axis=1)
+            cb = jnp.argmax(z, axis=1, keepdims=True)  # (TP, 1)
+            cz = jnp.max(z, axis=1, keepdims=True)
             take = cz > best_z
             best_z = jnp.where(take, cz, best_z)
             best_idx = jnp.where(take, cb.astype(jnp.int32) + c * chunk,
@@ -115,18 +113,19 @@ def _kernel(px_ref, py_ref, faces_ref, idx_ref, sumlog_ref, *, n_chunks,
             d2 = jnp.where(inside, 0.0, d2)
             p_soft = jnp.where(overlap[None],
                                _P_CLAMP * jnp.exp(-d2 * sigmainv), 0.0)
-            sumlog = sumlog + jnp.sum(jnp.log1p(-p_soft), axis=1)
+            sumlog = sumlog + jnp.sum(jnp.log1p(-p_soft), axis=1,
+                                      keepdims=True)
             return best_z, best_idx, sumlog
 
         return jax.lax.cond(jnp.any(overlap), compute, lambda c_: c_,
                             (best_z, best_idx, sumlog))
 
-    init = (jnp.full((TP,), -jnp.inf, jnp.float32),
-            jnp.full((TP,), -1, jnp.int32),
-            jnp.zeros((TP,), jnp.float32))
+    init = (jnp.full((TP, 1), -jnp.inf, jnp.float32),
+            jnp.full((TP, 1), -1, jnp.int32),
+            jnp.zeros((TP, 1), jnp.float32))
     best_z, best_idx, sumlog = jax.lax.fori_loop(0, n_chunks, body, init)
-    idx_ref[0, :] = best_idx
-    sumlog_ref[0, :] = sumlog
+    idx_ref[:] = best_idx
+    sumlog_ref[:] = sumlog
 
 
 def _phase1_pallas_fwd_impl(px, py, faces_packed, *, tp, chunk, sigmainv,
@@ -135,8 +134,10 @@ def _phase1_pallas_fwd_impl(px, py, faces_packed, *, tp, chunk, sigmainv,
     n_tiles = P // tp
     Fp = faces_packed.shape[1]
     n_chunks = Fp // chunk
-    px2 = px.reshape(n_tiles, tp)
-    py2 = py.reshape(n_tiles, tp)
+    # pixels on the sublane axis: (P, 1) arrays, (tp, 1) blocks — last block
+    # dim equals the array dim, sublane dim divisible by 8 (Mosaic tiling)
+    px2 = px.reshape(P, 1)
+    py2 = py.reshape(P, 1)
 
     kernel = functools.partial(_kernel, n_chunks=n_chunks, chunk=chunk,
                                sigmainv=sigmainv)
@@ -144,17 +145,17 @@ def _phase1_pallas_fwd_impl(px, py, faces_packed, *, tp, chunk, sigmainv,
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, tp), lambda t: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tp), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp, 1), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp, 1), lambda t: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((14, Fp), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, tp), lambda t: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tp), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp, 1), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp, 1), lambda t: (t, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, tp), jnp.int32),
-            jax.ShapeDtypeStruct((n_tiles, tp), jnp.float32),
+            jax.ShapeDtypeStruct((P, 1), jnp.int32),
+            jax.ShapeDtypeStruct((P, 1), jnp.float32),
         ],
         interpret=interpret,
     )(px2, py2, faces_packed)
@@ -172,9 +173,20 @@ def _sumlog_xla(px, py, fvi, fz, fnz, sigmainv):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def _phase1(px, py, fvi, fz, fnz, sigmainv, tp, chunk, interpret):
-    faces_packed = _pack_faces(fvi, fz, fnz, chunk)
-    return _phase1_pallas_fwd_impl(px, py, faces_packed, tp=tp, chunk=chunk,
-                                   sigmainv=sigmainv, interpret=interpret)
+    # sort faces by bbox ymin so consecutive chunks are spatially coherent —
+    # the kernel's per-chunk tile-bbox cull then skips most chunks per tile
+    # (pixel tiles are row bands).  sumlog is order-invariant; best_idx is
+    # mapped back through the permutation.
+    ymin = jnp.min(fvi[:, :, 1], axis=1)
+    order = jnp.argsort(ymin)
+    faces_packed = _pack_faces(fvi[order], fz[order], fnz[order], chunk)
+    best_sorted, sumlog = _phase1_pallas_fwd_impl(
+        px, py, faces_packed, tp=tp, chunk=chunk, sigmainv=sigmainv,
+        interpret=interpret)
+    best_idx = jnp.where(best_sorted >= 0,
+                         order[jnp.maximum(best_sorted, 0)].astype(jnp.int32),
+                         -1)
+    return best_idx, sumlog
 
 
 def _phase1_fwd(px, py, fvi, fz, fnz, sigmainv, tp, chunk, interpret):

@@ -154,8 +154,16 @@ def _interpolate_selected(px, py, best_idx, face_vertices_image, face_vertices_z
     Returns (features (P, C), hard_mask (P,)).
     """
     safe = jnp.maximum(best_idx, 0)
-    fv = face_vertices_image[safe]  # (P, 3, 2)
-    feats = face_features[safe]  # (P, 3, C)
+    F = face_vertices_image.shape[0]
+    C = face_features.shape[-1]
+    # ONE gather of a packed (F, 3*(2+C)) table instead of several — gathers
+    # are the TPU bottleneck of this phase
+    packed = jnp.concatenate(
+        [face_vertices_image.reshape(F, 6), face_features.reshape(F, 3 * C)],
+        axis=1)
+    g = packed[safe]  # (P, 6 + 3C)
+    fv = g[:, :6].reshape(-1, 3, 2)
+    feats = g[:, 6:].reshape(-1, 3, C)
 
     ax, ay = fv[:, 0, 0], fv[:, 0, 1]
     bx, by = fv[:, 1, 0], fv[:, 1, 1]
