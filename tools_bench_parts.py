@@ -24,6 +24,8 @@ def main():
     from magicmirror.ops.pallas.rasterize_tpu import rasterize_phase1_pallas
     from magicmirror.render.renderer import DiffRender
 
+    from magicmirror.geometry import camera as cam
+
     B = int(os.environ.get("B", "32"))
     S = int(os.environ.get("S", "256"))
     template = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -32,10 +34,18 @@ def main():
     rs = np.random.RandomState(0)
     V, F = dr.num_vertices, dr.num_faces
 
-    verts = jnp.asarray(dr.vertices_init[None] + 0.0)
-    fvi = jnp.asarray(rs.uniform(-0.9, 0.9, (B, F, 3, 2)).astype(np.float32))
-    fz = jnp.asarray(rs.uniform(-4, -2, (B, F, 3)).astype(np.float32))
-    fnz = jnp.asarray(rs.uniform(-1, 1, (B, F)).astype(np.float32))
+    # REAL projected geometry (random cameras over the template) so the
+    # spatial culling behaves as in production
+    verts = jnp.broadcast_to(dr.vertices_init[None], (B, V, 3))
+    pos = cam.camera_position_from_spherical_angles(
+        jnp.asarray(rs.uniform(2, 4, B), jnp.float32),
+        jnp.asarray(rs.uniform(0, 30, B), jnp.float32),
+        jnp.asarray(rs.uniform(-180, 180, B), jnp.float32))
+    tf = cam.generate_transformation_matrix(
+        pos, jnp.zeros((B, 3)), jnp.broadcast_to(jnp.asarray([0., 1., 0.]), (B, 3)))
+    fvc, fvi, fn = cam.prepare_vertices(verts, dr.faces, dr.cam_proj, tf)
+    fz = fvc[:, :, :, 2]
+    fnz = fn[:, :, 2]
     feats = jnp.asarray(rs.rand(B, F, 3, 6).astype(np.float32))
     px, py = pixel_grid(S, S)
 
@@ -62,6 +72,14 @@ def main():
     f_tex = jax.jit(lambda u, t_: texture_mapping(u, t_))
     t = timeit(f_tex, uv, tex)
     print(f"texture map:   {t*1e3:.2f} ms → {B/t:.0f} fps")
+
+    from magicmirror.ops.shading import spherical_harmonic_lighting
+
+    nrm = jnp.asarray(rs.rand(B, S, S, 3).astype(np.float32))
+    lights = jnp.asarray(rs.rand(B, 9).astype(np.float32))
+    f_sh = jax.jit(spherical_harmonic_lighting)
+    t = timeit(f_sh, nrm, lights)
+    print(f"sh lighting:   {t*1e3:.2f} ms → {B/t:.0f} fps")
 
 
 if __name__ == "__main__":
