@@ -35,9 +35,10 @@ _AX, _AY, _BX, _BY, _CX, _CY, _Z0, _Z1, _Z2, _FNZ, _XMIN, _XMAX, _YMIN, _YMAX = 
 
 _DEN_EPS = 1e-10
 _P_CLAMP = 1.0 - 1e-7
-# faces farther than this (NDC) from a pixel contribute p < 1e-14 at the
-# default sigmainv=7000 — safe to cull
-_SOFT_MARGIN = 0.07
+# faces farther than this (NDC) from a pixel contribute p < exp(-7000*.035^2)
+# ≈ 2e-4 at the default sigmainv=7000 — tighter than kaolin's boxlen=0.02
+# candidate search, safe to cull
+_SOFT_MARGIN = 0.035
 
 
 def _pack_faces(fvi, fz, fnz, chunk: int):
@@ -70,10 +71,9 @@ def _kernel(px_ref, py_ref, faces_ref, idx_ref, sumlog_ref, *, n_chunks,
     def body(c, carry):
         best_z, best_idx, sumlog = carry
         f = faces_ref[:, pl.ds(c * chunk, chunk)]  # (14, C)
-        overlap = ((f[_XMIN] - _SOFT_MARGIN <= tile_xmax)
-                   & (f[_XMAX] + _SOFT_MARGIN >= tile_xmin)
-                   & (f[_YMIN] - _SOFT_MARGIN <= tile_ymax)
-                   & (f[_YMAX] + _SOFT_MARGIN >= tile_ymin)
+        # tile bbox is already margin-expanded; face bboxes are exact
+        overlap = ((f[_XMIN] <= tile_xmax) & (f[_XMAX] >= tile_xmin)
+                   & (f[_YMIN] <= tile_ymax) & (f[_YMAX] >= tile_ymin)
                    & (f[_FNZ] > 0.0))
 
         def compute(carry):
@@ -162,6 +162,158 @@ def _phase1_pallas_fwd_impl(px, py, faces_packed, *, tp, chunk, sigmainv,
     return best_idx.reshape(P), sumlog.reshape(P)
 
 
+# ---------------------------------------------------------------- banded path
+# True culling: faces are binned into horizontal image bands (count-and-pad in
+# XLA), one band per pixel tile; the kernel's face loop runs a *dynamic* trip
+# count = ceil(band_count / chunk).  A per-chunk lax.cond cannot skip work on
+# TPU (Mosaic predicates both branches) — a dynamic loop bound can.
+
+_ID_ROW = 14  # extra packed row: original face id (exact in f32 up to 2^24)
+
+
+def _bin_faces(fvi, fz, fnz, n_bands: int, chunk: int, margin: float):
+    """→ (banded (NB, 15, K) f32, counts (NB,) i32).  K = F padded; backfaces
+    and degenerate faces are dropped at binning time (they contribute to
+    neither the z-test nor the soft mask)."""
+    F = fvi.shape[0]
+    K = F + ((-F) % chunk)
+    ys = fvi[:, :, 1]
+    ymin_f = ys.min(1) - margin
+    ymax_f = ys.max(1) + margin
+    # bands partition NDC y=[-1,1] top-down (row 0 = y=+1)
+    edges = 1.0 - 2.0 * jnp.arange(n_bands + 1, dtype=jnp.float32) / n_bands
+    band_top = edges[:-1][:, None]  # (NB, 1) upper y
+    band_bot = edges[1:][:, None]
+    alive = fnz > 0.0
+    overlap = (ymax_f[None, :] >= band_bot) & (ymin_f[None, :] <= band_top) \
+        & alive[None, :]  # (NB, F)
+    counts = overlap.sum(axis=1).astype(jnp.int32)
+    # count-and-pad: rank of each face within its band
+    rank = jnp.cumsum(overlap, axis=1) - 1
+    slot = jnp.where(overlap, rank, K)  # K = drop bucket
+    ids = jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32)[None], (n_bands, F))
+    lists = jnp.full((n_bands, K + 1), 0, jnp.int32)
+    lists = jax.vmap(lambda l, s, i: l.at[s].set(i, mode="drop"))(
+        lists, slot, ids)
+    lists = lists[:, :K]  # (NB, K) face ids, garbage past counts[b]
+
+    packed = _pack_faces(fvi, fz, fnz, chunk)  # (14, K)
+    packed = jnp.concatenate(
+        [packed, jnp.arange(K, dtype=jnp.float32)[None]], axis=0)  # (15, K)
+    banded = packed[:, lists]  # (15, NB, K) via fancy gather
+    banded = jnp.transpose(banded, (1, 0, 2))  # (NB, 15, K)
+    # mask out the padding tail: mark entries past count as backfacing
+    lane = jnp.broadcast_to(jnp.arange(K)[None], (n_bands, K))
+    tail = lane >= counts[:, None]
+    banded = banded.at[:, _FNZ, :].set(
+        jnp.where(tail, -1.0, banded[:, _FNZ, :]))
+    return banded, counts
+
+
+def _banded_kernel(counts_ref, px_ref, py_ref, faces_ref, idx_ref, sumlog_ref,
+                   *, chunk, sigmainv):
+    b = pl.program_id(0)
+    count = counts_ref[b]
+    p_x = px_ref[:]  # (TP, 1)
+    p_y = py_ref[:]
+    TP = p_x.shape[0]
+
+    def body(c, carry):
+        best_z, best_idx, sumlog = carry
+        f = faces_ref[0, :, pl.ds(c * chunk, chunk)]  # (15, C)
+        ax, ay = f[_AX][None], f[_AY][None]
+        bx, by = f[_BX][None], f[_BY][None]
+        cx, cy = f[_CX][None], f[_CY][None]
+        alive = f[_FNZ] > 0.0
+        den = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+        safe_den = jnp.where(jnp.abs(den) > _DEN_EPS, den, 1.0)
+        w0 = ((cx - bx) * (p_y - by) - (cy - by) * (p_x - bx)) / safe_den
+        w1 = ((ax - cx) * (p_y - cy) - (ay - cy) * (p_x - cx)) / safe_den
+        w2 = 1.0 - w0 - w1
+        valid = alive[None] & (jnp.abs(den) > _DEN_EPS)
+        inside = (w0 >= 0.0) & (w1 >= 0.0) & (w2 >= 0.0) & valid
+        z = w0 * f[_Z0][None] + w1 * f[_Z1][None] + w2 * f[_Z2][None]
+        z = jnp.where(inside, z, -jnp.inf)
+
+        cz = jnp.max(z, axis=1, keepdims=True)  # (TP, 1)
+        onehot = (z == cz) & inside
+        # first winner on ties: lowest lane via min over masked ids
+        cid = jnp.min(jnp.where(onehot, f[_ID_ROW][None], jnp.inf), axis=1,
+                      keepdims=True)
+        take = cz > best_z
+        best_z = jnp.where(take, cz, best_z)
+        best_idx = jnp.where(take, cid, best_idx)
+
+        def seg_d2(qx, qy, rx, ry):
+            ex = rx - qx
+            ey = ry - qy
+            t = ((p_x - qx) * ex + (p_y - qy) * ey) / (ex * ex + ey * ey + 1e-12)
+            t = jnp.clip(t, 0.0, 1.0)
+            dx = p_x - qx - t * ex
+            dy = p_y - qy - t * ey
+            return dx * dx + dy * dy
+
+        d2 = jnp.minimum(jnp.minimum(seg_d2(ax, ay, bx, by),
+                                     seg_d2(bx, by, cx, cy)),
+                         seg_d2(cx, cy, ax, ay))
+        d2 = jnp.where(inside, 0.0, d2)
+        p_soft = jnp.where(alive[None], _P_CLAMP * jnp.exp(-d2 * sigmainv), 0.0)
+        sumlog = sumlog + jnp.sum(jnp.log1p(-p_soft), axis=1, keepdims=True)
+        return best_z, best_idx, sumlog
+
+    init = (jnp.full((TP, 1), -jnp.inf, jnp.float32),
+            jnp.full((TP, 1), jnp.inf, jnp.float32),
+            jnp.zeros((TP, 1), jnp.float32))
+    n_chunks = (count + chunk - 1) // chunk  # dynamic trip count
+    best_z, best_idx, sumlog = jax.lax.fori_loop(0, n_chunks, body, init)
+    covered = best_z > -jnp.inf
+    idx_ref[:] = jnp.where(covered, best_idx, -1.0).astype(jnp.int32)
+    sumlog_ref[:] = sumlog
+
+
+def _phase1_banded_impl(px, py, fvi, fz, fnz, sigmainv, width, band_rows,
+                        chunk, interpret):
+    """px/py must be the full row-major H x W grid; one band per tile."""
+    P = px.shape[0]
+    H = P // width
+    n_bands = H // band_rows
+    tp = band_rows * width
+    banded, counts = _bin_faces(fvi, fz, fnz, n_bands, chunk, _SOFT_MARGIN)
+    K = banded.shape[2]
+    px2 = px.reshape(P, 1)
+    py2 = py.reshape(P, 1)
+
+    kernel = functools.partial(_banded_kernel, chunk=chunk, sigmainv=sigmainv)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_bands,),
+        in_specs=[
+            pl.BlockSpec((tp, 1), lambda b, c_: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp, 1), lambda b, c_: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 15, K), lambda b, c_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tp, 1), lambda b, c_: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp, 1), lambda b, c_: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    best_idx, sumlog = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((P, 1), jnp.int32),
+            jax.ShapeDtypeStruct((P, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(counts, px2, py2, banded)
+    return best_idx.reshape(P), sumlog.reshape(P)
+
+
 def _sumlog_xla(px, py, fvi, fz, fnz, sigmainv):
     """Reference soft-accumulator used for the backward pass (matches the
     scan implementation in ops/rasterize.py)."""
@@ -171,12 +323,14 @@ def _sumlog_xla(px, py, fvi, fz, fnz, sigmainv):
     return sumlog
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
-def _phase1(px, py, fvi, fz, fnz, sigmainv, tp, chunk, interpret):
-    # sort faces by bbox ymin so consecutive chunks are spatially coherent —
-    # the kernel's per-chunk tile-bbox cull then skips most chunks per tile
-    # (pixel tiles are row bands).  sumlog is order-invariant; best_idx is
-    # mapped back through the permutation.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _phase1(px, py, fvi, fz, fnz, sigmainv, tp, chunk, interpret, width,
+            band_rows):
+    if width is not None:
+        # banded path: one pixel band per grid step, dynamic face-loop bounds
+        return _phase1_banded_impl(px, py, fvi, fz, fnz, sigmainv, width,
+                                   band_rows, chunk, interpret)
+    # fallback: y-sorted faces + per-chunk bbox test (static trip count)
     ymin = jnp.min(fvi[:, :, 1], axis=1)
     order = jnp.argsort(ymin)
     faces_packed = _pack_faces(fvi[order], fz[order], fnz[order], chunk)
@@ -189,12 +343,14 @@ def _phase1(px, py, fvi, fz, fnz, sigmainv, tp, chunk, interpret):
     return best_idx, sumlog
 
 
-def _phase1_fwd(px, py, fvi, fz, fnz, sigmainv, tp, chunk, interpret):
-    out = _phase1(px, py, fvi, fz, fnz, sigmainv, tp, chunk, interpret)
+def _phase1_fwd(px, py, fvi, fz, fnz, sigmainv, tp, chunk, interpret, width,
+                band_rows):
+    out = _phase1(px, py, fvi, fz, fnz, sigmainv, tp, chunk, interpret,
+                  width, band_rows)
     return out, (px, py, fvi, fz, fnz)
 
 
-def _phase1_bwd(sigmainv, tp, chunk, interpret, res, cots):
+def _phase1_bwd(sigmainv, tp, chunk, interpret, width, band_rows, res, cots):
     px, py, fvi, fz, fnz = res
     _, g_sumlog = cots
     # best_idx is integer (no cotangent); route the sumlog cotangent through
@@ -210,19 +366,28 @@ _phase1.defvjp(_phase1_fwd, _phase1_bwd)
 
 def rasterize_phase1_pallas(px, py, fvi, fz, fnz, sigmainv=7000.0,
                             tile_pixels: int = 1024, chunk: int = 128,
-                            interpret: bool | None = None):
+                            interpret: bool | None = None,
+                            width: int | None = None, band_rows: int = 8):
     """Phase-1 rasterization for ONE mesh (vmap over batch at the call site).
 
-    px, py: (P,) NDC pixel centers, P a multiple of ``tile_pixels`` (the
-    caller's H*W; pad if needed).  Returns (best_idx (P,) int32, sumlog (P,)).
+    px, py: (P,) NDC pixel centers (the caller's H*W row-major grid).
+    When ``width`` is given and the image divides into ``band_rows`` bands,
+    the banded (face-binning, dynamic-trip-count) kernel runs — the fast
+    path; otherwise the static chunk-loop kernel.
+    Returns (best_idx (P,) int32, sumlog (P,)).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     P = px.shape[0]
+    use_banded = (width is not None and P % width == 0
+                  and (P // width) % band_rows == 0)
+    if use_banded:
+        return _phase1(px, py, fvi, fz, fnz, float(sigmainv), tile_pixels,
+                       chunk, interpret, width, band_rows)
     pad = (-P) % tile_pixels
     if pad:
         px = jnp.concatenate([px, jnp.full((pad,), 2.0, px.dtype)])
         py = jnp.concatenate([py, jnp.full((pad,), 2.0, py.dtype)])
     best_idx, sumlog = _phase1(px, py, fvi, fz, fnz, float(sigmainv),
-                               tile_pixels, chunk, interpret)
+                               tile_pixels, chunk, interpret, None, band_rows)
     return best_idx[:P], sumlog[:P]

@@ -225,9 +225,15 @@ def dibr_rasterization(height, width, face_vertices_z, face_vertices_image,
         from .pallas.rasterize_tpu import rasterize_phase1_pallas
 
         px, py = pixel_grid(height, width)
+        # keep the (tile_pixels x chunk) working set inside the ~16MB VMEM:
+        # tile ≈ 1024 px (band_rows rows of `width`)
+        band_rows = max(1, 1024 // width)
+        while band_rows > 1 and height % band_rows:
+            band_rows //= 2
         best_idx, sumlog = jax.vmap(
             lambda fvi, fz, fnz: rasterize_phase1_pallas(
-                px, py, fvi, fz, fnz, sigmainv)
+                px, py, fvi, fz, fnz, sigmainv, width=width,
+                band_rows=band_rows)
         )(face_vertices_image, face_vertices_z, face_normals_z)
         out, hard = jax.vmap(
             lambda bi, fvi, fz, ff: _interpolate_selected(px, py, bi, fvi, fz, ff)

@@ -133,9 +133,47 @@ def texture_mapping(texture_coordinates, texture_maps, mode: str = "bilinear"):
 
     texture_coordinates: (B, H, W, 2); texture_maps: (B, Ht, Wt, C) NHWC.
     Returns (B, H, W, C).
+
+    The bilinear path uses a quad-packed single gather: the 2x2 neighborhoods
+    are pre-packed with cheap shifts so each pixel needs ONE gather of 4C
+    values instead of four gathers — gathers are the TPU bottleneck here.
     """
     uv = jnp.clip(texture_coordinates, 0.0, 1.0)
     grid_x = uv[..., 0] * 2.0 - 1.0
     grid_y = -(uv[..., 1] * 2.0 - 1.0)  # reversed v-coordinate
-    grid = jnp.stack([grid_x, grid_y], axis=-1)
-    return grid_sample(texture_maps, grid, mode=mode, padding_mode="zeros", align_corners=False)
+    if mode != "bilinear":
+        grid = jnp.stack([grid_x, grid_y], axis=-1)
+        return grid_sample(texture_maps, grid, mode=mode,
+                           padding_mode="zeros", align_corners=False)
+
+    N, Ht, Wt, C = texture_maps.shape
+    Hg, Wg = uv.shape[1], uv.shape[2]
+    x = _unnormalize(grid_x.reshape(N, -1), Wt, False)
+    y = _unnormalize(grid_y.reshape(N, -1), Ht, False)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0)[..., None]
+    wy = (y - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    # zero-pad the texture one texel on every side: every 2x2 tap window of
+    # any x0 in [-1, Wt-1] is then in-bounds (out-of-range taps read the zero
+    # ring — exactly 'zeros' padding semantics)
+    tp = jnp.pad(texture_maps, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    t00 = tp[:, :-1, :-1]
+    t01 = tp[:, :-1, 1:]
+    t10 = tp[:, 1:, :-1]
+    t11 = tp[:, 1:, 1:]
+    quad = jnp.concatenate([t00, t01, t10, t11], axis=-1)
+    quad = quad.reshape(N, (Ht + 1) * (Wt + 1), 4 * C)
+
+    x0c = jnp.clip(x0i, -1, Wt - 1) + 1
+    y0c = jnp.clip(y0i, -1, Ht - 1) + 1
+    g = jnp.take_along_axis(quad, (y0c * (Wt + 1) + x0c)[..., None], axis=1)
+    g = g.reshape(N, -1, 4, C)
+    out = (g[:, :, 0] * (1 - wx) * (1 - wy)
+           + g[:, :, 1] * wx * (1 - wy)
+           + g[:, :, 2] * (1 - wx) * wy
+           + g[:, :, 3] * wx * wy)
+    return out.reshape(N, Hg, Wg, C)

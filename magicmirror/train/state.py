@@ -42,6 +42,9 @@ def create_train_state(rng, netE, netD, opt_e, opt_d, sample_batch, template,
     dis_nc = netD.nc
     d_in = sample_batch[..., :dis_nc]
     params_d = netD.init(k_d, d_in)["params"]
+    # SWA slots start as COPIES — aliasing params_e would donate the same
+    # buffer twice under the donated train step
+    copy = lambda tree: jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), tree)
     return TrainState(
         params_e=params_e,
         stats_e=stats_e,
@@ -50,8 +53,8 @@ def create_train_state(rng, netE, netD, opt_e, opt_d, sample_batch, template,
         opt_state_d=opt_d.init(params_d),
         template=jnp.asarray(template),
         em_step=jnp.asarray(em_step, jnp.float32),
-        swa_params=params_e,
-        swa_stats=stats_e,
+        swa_params=copy(params_e),
+        swa_stats=copy(stats_e),
         swa_n=jnp.asarray(0, jnp.int32),
         epoch=jnp.asarray(0, jnp.int32),
         step=jnp.asarray(0, jnp.int32),
@@ -65,5 +68,7 @@ def swa_update(state: TrainState) -> TrainState:
     new_swa = jax.tree_util.tree_map(
         lambda avg, p: avg + (p - avg) / (n + 1.0),
         state.swa_params, state.params_e)
+    new_stats = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
+                                       state.stats_e)
     return state.replace(swa_params=new_swa, swa_n=state.swa_n + 1,
-                         swa_stats=state.stats_e)
+                         swa_stats=new_stats)

@@ -61,3 +61,20 @@ def test_pallas_soft_gradient(rng):
     assert np.abs(np.asarray(g)).max() > 0
     # apex up grows coverage
     assert np.asarray(g)[0, 2, 1] > 0
+
+
+@pytest.mark.parametrize("band_rows", [4, 8])
+def test_banded_matches_xla(band_rows, rng):
+    H = W = 32
+    F = 40
+    px, py = pixel_grid(H, W)
+    fvi = jnp.asarray(rng.uniform(-1, 1, (F, 3, 2)).astype(np.float32))
+    fz = jnp.asarray(rng.uniform(-4, -2, (F, 3)).astype(np.float32))
+    fnz = jnp.asarray(rng.uniform(-1, 1, F).astype(np.float32))
+    idx_ref, sum_ref = _rasterize_phase1(px, py, fvi, fz, fnz, 7000.0, 64)
+    idx_b, sum_b = rasterize_phase1_pallas(px, py, fvi, fz, fnz, 7000.0,
+                                           chunk=64, interpret=True,
+                                           width=W, band_rows=band_rows)
+    np.testing.assert_array_equal(np.asarray(idx_b), np.asarray(idx_ref))
+    np.testing.assert_allclose(np.asarray(sum_b), np.asarray(sum_ref),
+                               atol=5e-4, rtol=1e-4)

@@ -50,9 +50,14 @@ def main():
     px, py = pixel_grid(S, S)
 
     f_pallas = jax.jit(jax.vmap(lambda a, b, c: rasterize_phase1_pallas(
-        px, py, a, b, c, 7000.0)))
+        px, py, a, b, c, 7000.0, width=S, band_rows=max(1, 1024 // S))))
     t = timeit(f_pallas, fvi, fz, fnz)
-    print(f"phase1 pallas: {t*1e3:.2f} ms → {B/t:.0f} fps")
+    print(f"phase1 banded: {t*1e3:.2f} ms → {B/t:.0f} fps")
+
+    f_pallas0 = jax.jit(jax.vmap(lambda a, b, c: rasterize_phase1_pallas(
+        px, py, a, b, c, 7000.0)))
+    t = timeit(f_pallas0, fvi, fz, fnz)
+    print(f"phase1 static: {t*1e3:.2f} ms → {B/t:.0f} fps")
 
     f_xla = jax.jit(jax.vmap(lambda a, b, c: _rasterize_phase1(
         px, py, a, b, c, 7000.0, 256)))
