@@ -171,12 +171,15 @@ def _phase1_pallas_fwd_impl(px, py, faces_packed, *, tp, chunk, sigmainv,
 _ID_ROW = 14  # extra packed row: original face id (exact in f32 up to 2^24)
 
 
-def _bin_faces(fvi, fz, fnz, n_bands: int, chunk: int, margin: float):
-    """→ (banded (NB, 15, K) f32, counts (NB,) i32).  K = F padded; backfaces
-    and degenerate faces are dropped at binning time (they contribute to
-    neither the z-test nor the soft mask)."""
+def _bin_faces(fvi, fz, fnz, n_bands: int, chunk: int, margin: float,
+               capacity: int | None = None):
+    """→ (banded (NB, 15, K) f32, counts (NB,) i32).  K = F padded (or
+    ``capacity`` when set — bands overflowing the capacity drop the excess
+    faces, trading exactness for a STATIC kernel trip count); backfaces and
+    degenerate faces are dropped at binning time (they contribute to neither
+    the z-test nor the soft mask)."""
     F = fvi.shape[0]
-    K = F + ((-F) % chunk)
+    K = capacity if capacity is not None else F + ((-F) % chunk)
     ys = fvi[:, :, 1]
     ymin_f = ys.min(1) - margin
     ymax_f = ys.max(1) + margin
@@ -187,19 +190,20 @@ def _bin_faces(fvi, fz, fnz, n_bands: int, chunk: int, margin: float):
     alive = fnz > 0.0
     overlap = (ymax_f[None, :] >= band_bot) & (ymin_f[None, :] <= band_top) \
         & alive[None, :]  # (NB, F)
-    counts = overlap.sum(axis=1).astype(jnp.int32)
+    counts = jnp.minimum(overlap.sum(axis=1), K).astype(jnp.int32)
     # count-and-pad: rank of each face within its band
     rank = jnp.cumsum(overlap, axis=1) - 1
-    slot = jnp.where(overlap, rank, K)  # K = drop bucket
+    slot = jnp.where(overlap & (rank < K), rank, K)  # K = drop bucket
     ids = jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32)[None], (n_bands, F))
     lists = jnp.full((n_bands, K + 1), 0, jnp.int32)
     lists = jax.vmap(lambda l, s, i: l.at[s].set(i, mode="drop"))(
         lists, slot, ids)
     lists = lists[:, :K]  # (NB, K) face ids, garbage past counts[b]
 
-    packed = _pack_faces(fvi, fz, fnz, chunk)  # (14, K)
+    packed = _pack_faces(fvi, fz, fnz, chunk)  # (14, F_padded)
     packed = jnp.concatenate(
-        [packed, jnp.arange(K, dtype=jnp.float32)[None]], axis=0)  # (15, K)
+        [packed, jnp.arange(packed.shape[1], dtype=jnp.float32)[None]],
+        axis=0)  # (15, F_padded)
     banded = packed[:, lists]  # (15, NB, K) via fancy gather
     banded = jnp.transpose(banded, (1, 0, 2))  # (NB, 15, K)
     # mask out the padding tail: mark entries past count as backfacing
@@ -314,6 +318,151 @@ def _phase1_banded_impl(px, py, fvi, fz, fnz, sigmainv, width, band_rows,
     return best_idx.reshape(P), sumlog.reshape(P)
 
 
+def _image_kernel(counts_ref, faces_ref, idx_ref, sumlog_ref, *, chunk,
+                  sigmainv, n_bands, band_rows, height, width,
+                  static_chunks=None):
+    """v3: ONE program rasterizes the whole image, looping bands internally —
+    amortizes per-program overhead.  With ``static_chunks`` (capacity-capped
+    bins) every loop bound is static: a dynamic while-loop costs ~20us of
+    pipeline flush PER BAND on TPU, which dominated the v2/v3-dynamic
+    kernels; the static variant trades a bounded face-capacity per band for
+    straight-line pipelining."""
+    tp = band_rows * width
+
+    def band_body(b, _):
+        count = counts_ref[b]
+        # pixel coords of this band from iota (no pixel inputs at all)
+        r = jax.lax.broadcasted_iota(jnp.int32, (tp, 1), 0)
+        flat = b * tp + r
+        row = flat // width
+        col = flat - row * width
+        p_x = (2.0 * col.astype(jnp.float32) + 1.0) / width - 1.0
+        p_y = 1.0 - (2.0 * row.astype(jnp.float32) + 1.0) / height
+
+        def body(c, carry):
+            best_z, best_idx, sumlog = carry
+            f = faces_ref[b, :, pl.ds(c * chunk, chunk)]  # (15, C)
+            ax, ay = f[_AX][None], f[_AY][None]
+            bx, by = f[_BX][None], f[_BY][None]
+            cx, cy = f[_CX][None], f[_CY][None]
+            alive = f[_FNZ] > 0.0
+            den = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+            safe_den = jnp.where(jnp.abs(den) > _DEN_EPS, den, 1.0)
+            w0 = ((cx - bx) * (p_y - by) - (cy - by) * (p_x - bx)) / safe_den
+            w1 = ((ax - cx) * (p_y - cy) - (ay - cy) * (p_x - cx)) / safe_den
+            w2 = 1.0 - w0 - w1
+            valid = alive[None] & (jnp.abs(den) > _DEN_EPS)
+            inside = (w0 >= 0.0) & (w1 >= 0.0) & (w2 >= 0.0) & valid
+            z = w0 * f[_Z0][None] + w1 * f[_Z1][None] + w2 * f[_Z2][None]
+            z = jnp.where(inside, z, -jnp.inf)
+            cz = jnp.max(z, axis=1, keepdims=True)
+            onehot = (z == cz) & inside
+            cid = jnp.min(jnp.where(onehot, f[_ID_ROW][None], jnp.inf),
+                          axis=1, keepdims=True)
+            take = cz > best_z
+            best_z = jnp.where(take, cz, best_z)
+            best_idx = jnp.where(take, cid, best_idx)
+
+            def seg_d2(qx, qy, rx, ry):
+                ex = rx - qx
+                ey = ry - qy
+                t = ((p_x - qx) * ex + (p_y - qy) * ey) / (
+                    ex * ex + ey * ey + 1e-12)
+                t = jnp.clip(t, 0.0, 1.0)
+                dx = p_x - qx - t * ex
+                dy = p_y - qy - t * ey
+                return dx * dx + dy * dy
+
+            d2 = jnp.minimum(jnp.minimum(seg_d2(ax, ay, bx, by),
+                                         seg_d2(bx, by, cx, cy)),
+                             seg_d2(cx, cy, ax, ay))
+            d2 = jnp.where(inside, 0.0, d2)
+            p_soft = jnp.where(alive[None],
+                               _P_CLAMP * jnp.exp(-d2 * sigmainv), 0.0)
+            sumlog = sumlog + jnp.sum(jnp.log1p(-p_soft), axis=1,
+                                      keepdims=True)
+            return best_z, best_idx, sumlog
+
+        init = (jnp.full((tp, 1), -jnp.inf, jnp.float32),
+                jnp.full((tp, 1), jnp.inf, jnp.float32),
+                jnp.zeros((tp, 1), jnp.float32))
+        if static_chunks is not None:
+            carry = init
+            for c in range(static_chunks):
+                carry = body(c, carry)
+            best_z, best_idx, sumlog = carry
+        else:
+            n_chunks = (count + chunk - 1) // chunk
+            best_z, best_idx, sumlog = jax.lax.fori_loop(0, n_chunks, body,
+                                                         init)
+        covered = best_z > -jnp.inf
+        idx_ref[pl.ds(b * tp, tp), :] = jnp.where(
+            covered, best_idx, -1.0).astype(jnp.int32)
+        sumlog_ref[pl.ds(b * tp, tp), :] = sumlog
+        return 0
+
+    jax.lax.fori_loop(0, n_bands, band_body, 0)
+
+
+# whole-image kernel is viable while the per-band face table fits VMEM
+_IMAGE_KERNEL_VMEM_BUDGET = 6 * 1024 * 1024
+
+
+def _band_capacity(F_padded: int, n_bands: int, chunk: int) -> int:
+    """Static per-band face capacity: generous (12x the uniform share — far
+    above the worst density we measure for close/far cameras), overridable
+    via MAGICMIRROR_BAND_CAPACITY, clamped to [chunk, F]."""
+    import os as _os
+
+    env = _os.environ.get("MAGICMIRROR_BAND_CAPACITY")
+    if env:
+        cap = int(env)
+    else:
+        cap = 12 * F_padded // n_bands
+    cap = -(-cap // chunk) * chunk
+    return max(chunk, min(cap, F_padded))
+
+
+def _phase1_image_impl(fvi, fz, fnz, sigmainv, height, width, band_rows,
+                       chunk, interpret):
+    P = height * width
+    n_bands = height // band_rows
+    F_padded = fvi.shape[0] + ((-fvi.shape[0]) % chunk)
+    capacity = _band_capacity(F_padded, n_bands, chunk)
+    banded, counts = _bin_faces(fvi, fz, fnz, n_bands, chunk, _SOFT_MARGIN,
+                                capacity=capacity)
+    K = banded.shape[2]
+
+    kernel = functools.partial(_image_kernel, chunk=chunk, sigmainv=sigmainv,
+                               n_bands=n_bands, band_rows=band_rows,
+                               height=height, width=width,
+                               static_chunks=K // chunk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((n_bands, 15, K), lambda g, c_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((P, 1), lambda g, c_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 1), lambda g, c_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    best_idx, sumlog = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((P, 1), jnp.int32),
+            jax.ShapeDtypeStruct((P, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(counts, banded)
+    return best_idx.reshape(P), sumlog.reshape(P)
+
+
 def _sumlog_xla(px, py, fvi, fz, fnz, sigmainv):
     """Reference soft-accumulator used for the backward pass (matches the
     scan implementation in ops/rasterize.py)."""
@@ -327,7 +476,15 @@ def _sumlog_xla(px, py, fvi, fz, fnz, sigmainv):
 def _phase1(px, py, fvi, fz, fnz, sigmainv, tp, chunk, interpret, width,
             band_rows):
     if width is not None:
-        # banded path: one pixel band per grid step, dynamic face-loop bounds
+        height = px.shape[0] // width
+        n_bands = height // band_rows
+        F_padded = fvi.shape[0] + ((-fvi.shape[0]) % chunk)
+        K = _band_capacity(F_padded, n_bands, chunk)
+        if n_bands * 15 * K * 4 <= _IMAGE_KERNEL_VMEM_BUDGET:
+            # v3: whole image in one program (amortized launch overhead)
+            return _phase1_image_impl(fvi, fz, fnz, sigmainv, height, width,
+                                      band_rows, chunk, interpret)
+        # v2: one pixel band per grid step, dynamic face-loop bounds
         return _phase1_banded_impl(px, py, fvi, fz, fnz, sigmainv, width,
                                    band_rows, chunk, interpret)
     # fallback: y-sorted faces + per-chunk bbox test (static trip count)

@@ -187,6 +187,28 @@ def trainer(opt, train_dataloader, test_dataloader, train_noaug_dataloader):
                                diffRender.vertices_init, lpl,
                                em_step=opt.em_step)
 
+    # SPMD data parallelism over all local chips (replaces the reference's
+    # DataParallel, trainer.py:94-95): state replicated, batch axis sharded;
+    # XLA inserts the gradient all-reduce over ICI via sharding propagation
+    mesh = None
+    if getattr(opt, "multigpus", False):
+        from ..dist.mesh import (batch_sharding, make_device_mesh,
+                                 shard_train_state)
+
+        import jax as _jax
+
+        if len(_jax.devices()) > 1:
+            mesh = make_device_mesh()
+            state = shard_train_state(mesh, state)
+            print(f"data-parallel mesh over {len(_jax.devices())} devices")
+
+    def to_device(batch_images):
+        if mesh is not None:
+            from ..dist.mesh import batch_sharding
+
+            return jax.device_put(batch_images, batch_sharding(mesh))
+        return batch_images
+
     ckpt = CheckpointManager(os.path.join(outf, "ckpts"))
     start_epoch = 0
     if opt.resume:
@@ -223,7 +245,7 @@ def trainer(opt, train_dataloader, test_dataloader, train_noaug_dataloader):
         for it, data in enumerate(train_dataloader):
             if epoch < opt.warm_epoch:
                 warm_up = min(1.0, warm_up + 0.99 / warm_iteration)
-            Xa = _batch_images(data)
+            Xa = to_device(_batch_images(data))
             Va = jnp.asarray(np.stack(data["obj"])) if (
                 opt.hmr > 0 and "obj" in data) else None
             train_shape = _train_shape_policy(opt, it)
