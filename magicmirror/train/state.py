@@ -72,3 +72,31 @@ def swa_update(state: TrainState) -> TrainState:
                                        state.stats_e)
     return state.replace(swa_params=new_swa, swa_n=state.swa_n + 1,
                          swa_stats=new_stats)
+
+
+def make_update_bn(netE, lpl):
+    """Re-estimate BN running stats for a parameter set by streaming the train
+    set (torch ``optim.swa_utils.update_bn`` semantics, reference
+    trainer.py:673-676, 1105).  Returns host fn(params, stats, template,
+    loader, rng) -> new_stats."""
+    import numpy as np
+
+    def one_batch(params, stats, template, Xa, rng):
+        _, mut = netE.apply(
+            {"params": params, "batch_stats": stats}, Xa, template, lpl,
+            train_shape=0, train=True, rngs={"dropout": rng},
+            mutable=["batch_stats"])
+        return mut["batch_stats"]
+
+    step = jax.jit(one_batch)
+
+    def update_bn(params, stats, template, loader, rng, max_batches=None):
+        for i, data in enumerate(loader):
+            if max_batches is not None and i >= max_batches:
+                break
+            rng, sub = jax.random.split(rng)
+            stats = step(params, stats, template,
+                         jnp.asarray(np.asarray(data["images"])), sub)
+        return stats
+
+    return update_bn
