@@ -72,8 +72,8 @@ def build_parser(defaults: dict | None = None) -> argparse.ArgumentParser:
     a("--swa", action="store_true", default=True)
     a("--em", type=float, default=1.0)
     a("--em_gap", type=int, default=1)
-    a("--eps", type=float, default=0.3, help="DBSCAN eps for em=4")
-    a("--topK", type=float, default=0.5, help="top-K fraction for em=5")
+    a("--eps", type=float, default=0.2, help="DBSCAN eps for em=4")
+    a("--topK", type=float, default=0.01, help="top-K fraction for em=5")
     a("--swa_start", type=int, default=500)
     a("--swa_interval", type=int, default=1)
     a("--update_shape", type=int, default=1)

@@ -133,6 +133,17 @@ class AttributeEncoder(nn.Module):
 
         background = self.bg_enc(input_img, train=train) if self.bg else None
 
+        # under the bf16 policy the heads emit bf16 — the renderer and losses
+        # run fp32 (AMP convention: fp32 master path outside conv compute)
+        f32 = lambda v: v.astype(jnp.float32) if v is not None else None
+        azimuths, elevations, distances, biases = map(
+            f32, (azimuths, elevations, distances, biases))
+        delta_vertices = f32(delta_vertices)
+        vertices = f32(vertices)
+        textures = f32(textures)
+        lights = f32(lights)
+        background = f32(background)
+
         return {
             "azimuths": azimuths,
             "elevations": elevations,

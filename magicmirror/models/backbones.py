@@ -15,6 +15,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .blocks import (
+    Conv,
+    Dense,
     BatchNorm,
     ChannelAttention,
     Conv2dBlock,
@@ -110,15 +112,15 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         identity = x
-        h = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
+        h = Conv(self.features, (3, 3), strides=(self.stride, self.stride),
                     padding=1, use_bias=False, kernel_init=kaiming_init)(x)
         h = BatchNorm(use_running_average=not train)(h)
         h = nn.relu(h)
-        h = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
+        h = Conv(self.features, (3, 3), padding=1, use_bias=False,
                     kernel_init=kaiming_init)(h)
         h = BatchNorm(use_running_average=not train)(h)
         if self.downsample:
-            identity = nn.Conv(self.features, (1, 1),
+            identity = Conv(self.features, (1, 1),
                                strides=(self.stride, self.stride),
                                use_bias=False, kernel_init=kaiming_init)(x)
             identity = BatchNorm(use_running_average=not train)(identity)
@@ -133,19 +135,19 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         identity = x
-        h = nn.Conv(self.features, (1, 1), use_bias=False,
+        h = Conv(self.features, (1, 1), use_bias=False,
                     kernel_init=kaiming_init)(x)
         h = BatchNorm(use_running_average=not train)(h)
         h = nn.relu(h)
-        h = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
+        h = Conv(self.features, (3, 3), strides=(self.stride, self.stride),
                     padding=1, use_bias=False, kernel_init=kaiming_init)(h)
         h = BatchNorm(use_running_average=not train)(h)
         h = nn.relu(h)
-        h = nn.Conv(self.features * 4, (1, 1), use_bias=False,
+        h = Conv(self.features * 4, (1, 1), use_bias=False,
                     kernel_init=kaiming_init)(h)
         h = BatchNorm(use_running_average=not train)(h)
         if self.downsample:
-            identity = nn.Conv(self.features * 4, (1, 1),
+            identity = Conv(self.features * 4, (1, 1),
                                strides=(self.stride, self.stride),
                                use_bias=False, kernel_init=kaiming_init)(x)
             identity = BatchNorm(use_running_average=not train)(identity)
@@ -169,7 +171,7 @@ class Resnet4C(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         block_cls, layers, _ = _RESNET_SPECS[self.arch]
-        h = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+        h = Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
                     kernel_init=kaiming_init, name="conv1")(x)
         h = BatchNorm(use_running_average=not train, name="bn1")(h)
         x1 = nn.relu(h)
@@ -203,7 +205,7 @@ class HRNetStem4C(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         def conv_bn(h, f, s, name):
-            h = nn.Conv(f, (3, 3), strides=(s, s), padding=1, use_bias=False,
+            h = Conv(f, (3, 3), strides=(s, s), padding=1, use_bias=False,
                         kernel_init=kaiming_init, name=name + "_conv")(h)
             h = BatchNorm(use_running_average=not train, name=name + "_bn")(h)
             return nn.relu(h)
@@ -217,10 +219,10 @@ class HRNetStem4C(nn.Module):
             hi = BasicBlock(18, name=f"hi_blk{i}")(hi, train=train)
             lo = BasicBlock(36, name=f"lo_blk{i}")(lo, train=train)
             # fuse
-            lo2hi = upsample2x(nn.Conv(18, (1, 1), use_bias=False,
+            lo2hi = upsample2x(Conv(18, (1, 1), use_bias=False,
                                        kernel_init=kaiming_init,
                                        name=f"l2h{i}")(lo))
-            hi2lo = nn.Conv(36, (3, 3), strides=(2, 2), padding=1,
+            hi2lo = Conv(36, (3, 3), strides=(2, 2), padding=1,
                             use_bias=False, kernel_init=kaiming_init,
                             name=f"h2l{i}")(hi)
             hi, lo = nn.relu(hi + lo2hi), nn.relu(lo + hi2lo)
@@ -228,7 +230,7 @@ class HRNetStem4C(nn.Module):
         h = BasicBlock(128, name="tail0")(h, train=train)
         h = conv_bn(h, 512, 2, "down2")
         h = BasicBlock(512, name="tail1")(h, train=train)
-        h = nn.Conv(2048, (1, 1), use_bias=False, kernel_init=kaiming_init,
+        h = Conv(2048, (1, 1), use_bias=False, kernel_init=kaiming_init,
                     name="head")(h)
         h = BatchNorm(use_running_average=not train, name="head_bn")(h)
         h = nn.relu(h)

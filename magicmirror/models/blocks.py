@@ -19,6 +19,32 @@ from flax import linen as nn
 kaiming_init = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 classifier_init = nn.initializers.normal(stddev=1e-5)
 
+# ------------------------------------------------------ mixed-precision policy
+# The reference's --fp16 AMP (reference trainer.py:98-99, 271-273) maps to a
+# bf16 compute policy on TPU: conv/dense compute in bf16 (fp32 master params,
+# flax casts per-op), normalization statistics stay fp32.  Set once before
+# building/applying models; the Conv/Dense wrappers below read it.
+_COMPUTE_DTYPE = jnp.float32
+
+
+def set_compute_dtype(dtype):
+    global _COMPUTE_DTYPE
+    _COMPUTE_DTYPE = dtype
+
+
+def compute_dtype():
+    return _COMPUTE_DTYPE
+
+
+def Conv(*args, **kwargs):
+    kwargs.setdefault("dtype", compute_dtype())
+    return nn.Conv(*args, **kwargs)
+
+
+def Dense(*args, **kwargs):
+    kwargs.setdefault("dtype", compute_dtype())
+    return nn.Dense(*args, **kwargs)
+
 
 def bn_scale_init(key, shape, dtype=jnp.float32):
     return 1.0 + 0.02 * jax.random.normal(key, shape, dtype)
@@ -139,7 +165,7 @@ class Conv2dBlock(nn.Module):
         use_bias = self.norm != "bn"
         pad = self.padding * self.dilation if False else self.padding
         x = _pad_2d(x, pad, self.padding_mode)
-        x = nn.Conv(
+        x = Conv(
             self.features, (self.kernel_size, self.kernel_size),
             strides=(self.stride, self.stride), padding="VALID",
             kernel_dilation=(self.dilation, self.dilation),
@@ -171,9 +197,9 @@ class ChannelAttention(nn.Module):
     @nn.compact
     def __call__(self, x):
         s = x.mean(axis=(1, 2), keepdims=True)
-        s = nn.Conv(max(self.features // 16, 1), (1, 1), kernel_init=kaiming_init)(s)
+        s = Conv(max(self.features // 16, 1), (1, 1), kernel_init=kaiming_init)(s)
         s = nn.relu(s)
-        s = nn.Conv(self.features, (1, 1), kernel_init=kaiming_init)(s)
+        s = Conv(self.features, (1, 1), kernel_init=kaiming_init)(s)
         return nn.sigmoid(s)
 
 
@@ -244,7 +270,7 @@ class ASPP(nn.Module):
         for i, d in enumerate((1, 2, 4, 8)):
             feats = q if i < 3 else self.features - 3 * q
             h = _pad_2d(x, d, "reflect")
-            h = nn.Conv(feats, (3, 3), padding="VALID", kernel_dilation=(d, d),
+            h = Conv(feats, (3, 3), padding="VALID", kernel_dilation=(d, d),
                         use_bias=True, kernel_init=kaiming_init)(h)
             outs.append(h)
         f = jnp.concatenate(outs, axis=-1)
@@ -294,7 +320,7 @@ class LinearBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = nn.Dense(self.features, kernel_init=kaiming_init)(x)
+        x = Dense(self.features, kernel_init=kaiming_init)(x)
         x = BatchNorm(use_running_average=not train)(x)
         if self.relu:
             x = nn.relu(x)

@@ -10,7 +10,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .blocks import classifier_init, kaiming_init, leaky_relu
+from .blocks import Conv, Dense, classifier_init, kaiming_init, leaky_relu
 
 
 class Discriminator(nn.Module):
@@ -33,10 +33,10 @@ class Discriminator(nn.Module):
             (nf * 2, 1, 1),
         ]
         for f, k, s in spec:
-            x = nn.Conv(f, (k, k), strides=(s, s), padding=k // 2,
+            x = Conv(f, (k, k), strides=(s, s), padding=k // 2,
                         use_bias=self.use_bias, kernel_init=kaiming_init)(x)
             x = leaky_relu(x)
-        x = nn.Conv(1, (1, 1), use_bias=self.use_bias,
+        x = Conv(1, (1, 1), use_bias=self.use_bias,
                     kernel_init=classifier_init)(x)
         return x.mean(axis=(1, 2))  # (B, 1)
 
@@ -57,10 +57,10 @@ class _ScaleCritic(nn.Module):
             (nf * 2, 3, 2), (nf * 2, 1, 1),
         ]
         for f, k, s in spec:
-            x = nn.Conv(f, (k, k), strides=(s, s), padding=k // 2,
+            x = Conv(f, (k, k), strides=(s, s), padding=k // 2,
                         use_bias=self.use_bias, kernel_init=kaiming_init)(x)
             x = leaky_relu(x)
-        return nn.Conv(1, (1, 1), use_bias=self.use_bias,
+        return Conv(1, (1, 1), use_bias=self.use_bias,
                        kernel_init=classifier_init)(x)
 
 
@@ -103,11 +103,11 @@ class LandmarkConsistency(nn.Module):
         feat = grid_sample(img_feat, grid, mode="bilinear",
                            padding_mode="zeros")[:, 0]  # (B, V, C)
         feat = feat[:, sample_idx]  # (B, S, C)
-        h = nn.Dense(1024, kernel_init=kaiming_init)(feat)
+        h = Dense(1024, kernel_init=kaiming_init)(feat)
         h = nn.BatchNorm(use_running_average=False)(h.reshape(-1, 1024)).reshape(
             B, -1, 1024)
         h = nn.relu(h)
-        logits = nn.Dense(self.num_landmarks, kernel_init=classifier_init)(h)
+        logits = Dense(self.num_landmarks, kernel_init=classifier_init)(h)
         labels = jnp.broadcast_to(sample_idx[None], (B, sample_idx.shape[0]))
         logp = nn.log_softmax(logits, axis=-1)
         ce = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]

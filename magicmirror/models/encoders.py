@@ -15,6 +15,8 @@ from flax import linen as nn
 from ..ops.sampling import grid_sample
 from .backbones import make_backbone, normalize_batch_4c
 from .blocks import (
+    Conv,
+    Dense,
     ASPP,
     BatchNorm,
     Conv2dBlock,
@@ -75,7 +77,7 @@ class CameraEncoder(nn.Module):
         return [
             LinearBlock(128, relu=False, name=f"{name}_lb"),
             nn.Dropout(self.droprate, name=f"{name}_drop"),
-            nn.Dense(2, kernel_init=classifier_init, name=f"{name}_out"),
+            Dense(2, kernel_init=classifier_init, name=f"{name}_out"),
         ]
 
     @staticmethod
@@ -134,15 +136,15 @@ class ShapeEncoder(nn.Module):
         self.mmpool = MMPool((1, 1))
         if self.nolpl:
             self.bn = BatchNorm()
-            self.linear3 = nn.Dense(self.num_vertices * 3,
+            self.linear3 = Dense(self.num_vertices * 3,
                                     kernel_init=classifier_init)
         else:
-            self.conv1 = nn.Dense(256, kernel_init=kaiming_init)
+            self.conv1 = Dense(256, kernel_init=kaiming_init)
             self.bn1 = BatchNorm()
             self.drop1 = nn.Dropout(self.droprate)
-            self.conv2 = nn.Dense(3, kernel_init=kaiming_init)
+            self.conv2 = Dense(3, kernel_init=kaiming_init)
             self.bn2 = BatchNorm()
-            self.linear3 = nn.Dense(self.num_vertices * 3,
+            self.linear3 = Dense(self.num_vertices * 3,
                                     kernel_init=classifier_init)
 
     def __call__(self, x, template, lpl, train: bool = True):
@@ -201,7 +203,7 @@ class LightEncoder(nn.Module):
         x = LinearBlock(48, relu=False)(x, train=train)
         if self.droprate > 0:
             x = nn.Dropout(self.droprate)(x, deterministic=not train)
-        x = nn.Dense(9, kernel_init=classifier_init)(x)
+        x = Dense(9, kernel_init=classifier_init)(x)
         lightparam = jnp.tanh(x)
         scale = jnp.array([[0.5, 0.1, 0.1, 0.1, 0.1, 0.1, 0.1, 0.1, 0.1]])
         bias = jnp.array([[3.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]])

@@ -164,6 +164,20 @@ def file_metrics(opt, dirs):
 
 def trainer(opt, train_dataloader, test_dataloader, train_noaug_dataloader):
     outf = opt.outf
+    # reproducibility hygiene: snapshot the training code into the run dir
+    # (reference trainer.py:79-80 backs up trainer.py/networks.py)
+    import shutil
+
+    for src in ("train/trainer.py", "train/train_step.py", "render/renderer.py"):
+        path = os.path.join(os.path.dirname(os.path.dirname(__file__)), src)
+        if os.path.isfile(path):
+            shutil.copy(path, os.path.join(outf, os.path.basename(path)))
+
+    if getattr(opt, "fp16", False):
+        from ..models.blocks import set_compute_dtype
+
+        set_compute_dtype(jnp.bfloat16)
+        print("bf16 compute policy enabled (--fp16)")
     diffRender = DiffRender(mesh_name=opt.template_path,
                             image_size=opt.imageSize, ratio=opt.ratio,
                             init_ellipsoid=opt.ellipsoid,

@@ -141,3 +141,29 @@ def test_discriminator_shapes(toy):
     outs = msd.apply(variables, img)
     assert len(outs) == 3
     assert outs[0].shape[0] == B
+
+
+def test_bf16_policy(toy):
+    """--fp16 → bf16 compute: encoders run under the bf16 policy and still
+    emit finite fp32 attributes."""
+    from magicmirror.models.blocks import set_compute_dtype
+
+    img, template, lpl = toy
+    set_compute_dtype(jnp.bfloat16)
+    try:
+        enc = AttributeEncoder(num_vertices=V, pretrains="none",
+                               pretrainc="none", pretraint="none")
+        key = jax.random.PRNGKey(0)
+        variables = enc.init({"params": key, "dropout": key}, img, template,
+                             lpl, train_shape=0, train=False)
+        att = enc.apply(variables, img, template, lpl, train_shape=0,
+                        train=False)
+        assert att["textures"].dtype == jnp.float32
+        assert att["delta_vertices"].dtype == jnp.float32
+        for k in ("azimuths", "vertices", "lights"):
+            assert np.isfinite(np.asarray(att[k])).all(), k
+        # params stored fp32 (master weights)
+        leaves = jax.tree_util.tree_leaves(variables["params"])
+        assert all(l.dtype == jnp.float32 for l in leaves)
+    finally:
+        set_compute_dtype(jnp.float32)
