@@ -32,7 +32,9 @@ def make_synthetic_batch(dr, rng, batch, image_size):
     # striped texture
     H, W = 2 * image_size, image_size
     ys = np.linspace(0, 8 * np.pi, H)[None, :, None, None]
-    stripes = 0.5 + 0.5 * np.sin(ys + rs.uniform(0, np.pi, (batch, 1, 1, 1)))
+    stripes = np.broadcast_to(
+        0.5 + 0.5 * np.sin(ys + rs.uniform(0, np.pi, (batch, 1, 1, 1))),
+        (batch, H, W, 1))
     tex = np.concatenate([
         stripes,
         np.broadcast_to(rs.uniform(0.2, 0.9, (batch, 1, 1, 1)), (batch, H, W, 1)),
