@@ -16,6 +16,10 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+
+if os.environ.get("MAGICMIRROR_FORCE_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 

@@ -25,7 +25,8 @@ def gradient_penalty(d_fn, real, fake, rng):
 
     grads = jax.grad(d_sum)(interp)
     grads = grads.reshape(grads.shape[0], -1)
-    return jnp.mean((jnp.linalg.norm(grads, axis=1) - 1.0) ** 2)
+    gnorm = jnp.sqrt(jnp.sum(grads * grads, axis=1) + 1e-12)
+    return jnp.mean((gnorm - 1.0) ** 2)
 
 
 def gradient_penalty_list(d_fn, real, fake, rng):
@@ -41,7 +42,8 @@ def gradient_penalty_list(d_fn, real, fake, rng):
 
         grads = jax.grad(d_scale)(interp)
         grads = grads.reshape(grads.shape[0], -1)
-        total = total + jnp.mean((jnp.linalg.norm(grads, axis=1) - 1.0) ** 2)
+        gnorm = jnp.sqrt(jnp.sum(grads * grads, axis=1) + 1e-12)
+        total = total + jnp.mean((gnorm - 1.0) ** 2)
     return total
 
 

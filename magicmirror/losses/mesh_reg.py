@@ -24,13 +24,20 @@ def laplacian_flat_loss(delta_vertices, face_normals, laplacian, edge2faces,
     return lambda_lpl * loss_laplacian + lambda_flat * loss_flat
 
 
+def _safe_norm(x, axis, eps=1e-12):
+    """norm with a defined (zero-free) gradient at 0 — jnp.linalg.norm's
+    gradient is NaN at exactly 0, which poisons early training when deltas
+    start near zero (torch defines the subgradient 0 there)."""
+    return jnp.sqrt(jnp.sum(x * x, axis=axis) + eps)
+
+
 def edge_loss(vertices, edges, edge_weight: float = 0.1):
     """Edge-length uniformity (reference networks.py:453-461)."""
     e = vertices[:, edges[:, 0]] - vertices[:, edges[:, 1]]
-    edge_length = jnp.linalg.norm(e, axis=2)
+    edge_length = _safe_norm(e, 2)
     mean_length = jnp.mean(edge_length, axis=1, keepdims=True)
     bias_length = edge_length - mean_length
-    return edge_weight * jnp.mean(jnp.linalg.norm(bias_length, axis=1))
+    return edge_weight * jnp.mean(_safe_norm(bias_length, 1))
 
 
 def depth_loss(vertices):
@@ -65,7 +72,7 @@ def depth_loss_C(vertices, sign_init, ratio: float = 1.0, eps: float = 0.001):
 
 def deform_loss(delta_vertices):
     """Mean per-vertex offset norm (reference networks.py:487-493)."""
-    norm = jnp.linalg.norm(delta_vertices, axis=2)
+    norm = _safe_norm(delta_vertices, 2)
     return jnp.mean(norm)
 
 
@@ -79,7 +86,7 @@ def flip_loss(delta_vertices, flip_index, sign_init, L1: bool = False):
         loss_norm = jnp.abs(Na - Nf)  # (B, V, 3)
         mask_dims = 3
     else:
-        loss_norm = jnp.linalg.norm(Na - Nf, axis=2)  # (B, V)
+        loss_norm = _safe_norm(Na - Nf, 2)  # (B, V)
         mask_dims = 2
     # swapped points: same sign as the template → mask 1
     mask_a = jax.nn.relu(jnp.sign(Na[:, :, 2]) * sign_init)

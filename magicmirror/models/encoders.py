@@ -84,7 +84,8 @@ class CameraEncoder(nn.Module):
     def atan2_deg(y, x):
         """reference model_res.py:182-186: sign(y) * acos(x/r) in degrees."""
         r = jnp.sqrt(x ** 2 + y ** 2 + 1e-12) + 1e-6
-        return jnp.sign(y) * jnp.arccos(jnp.clip(x / r, -1.0, 1.0)) * 180.0 / math.pi
+        u = jnp.clip(x / r, -1.0 + 1e-6, 1.0 - 1e-6)  # |acos'| <= ~700
+        return jnp.sign(y) * jnp.arccos(u) * 180.0 / math.pi
 
     def __call__(self, x, template, train: bool = True):
         x = normalize_batch_4c(x)

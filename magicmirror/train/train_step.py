@@ -27,6 +27,11 @@ from ..render.renderer import deep_copy
 from .optim import apply_updates_scaled
 
 
+def _sn(x, eps=1e-12):
+    """safe L2 norm along axis 1 (defined gradient at 0)."""
+    return jnp.sqrt(jnp.sum(x * x, axis=1) + eps)
+
+
 def _white_composite(x):
     """img*mask + white*(1-mask) on an NHWC RGBA batch (reference
     smr_utils.py:198-202)."""
@@ -306,17 +311,15 @@ def make_train_step(opt, diffRender, netE, netD, opt_e, opt_d, lpl,
             if opt.chamfer:
                 l_shape, _ = chamfer_distance(Af["vertices"], Na)
             else:
-                l_shape = jnp.mean(jnp.linalg.norm(
-                    Af["vertices"].reshape(B, -1) - Na.reshape(B, -1), axis=1))
+                l_shape = jnp.mean(_sn(Af["vertices"].reshape(B, -1) - Na.reshape(B, -1)))
             lossR_dis += opt.dis1 * (l_text + l_shape)
         if opt.dis2 > 0:
             Ae, Aj = outs["Ae"], outs["Ae_jitter"]
             if opt.chamfer:
                 l_shape, _ = chamfer_distance(Aj["vertices"], Ae["vertices"])
             else:
-                l_shape = jnp.mean(jnp.linalg.norm(
-                    Aj["delta_vertices"].reshape(B, -1)
-                    - Ae["delta_vertices"].reshape(B, -1), axis=1))
+                l_shape = jnp.mean(_sn(Aj["delta_vertices"].reshape(B, -1)
+                        - Ae["delta_vertices"].reshape(B, -1)))
             l_cam = (opt.azim * jnp.mean((angle2xy(Aj["azimuths"])
                                           - angle2xy(Ae["azimuths"])) ** 2)
                      + jnp.mean((angle2xy(Aj["elevations"])
