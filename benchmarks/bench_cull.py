@@ -2,6 +2,10 @@
 into one corner (max cull) vs spread over the screen (no cull)."""
 import time
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), '..'))
+
 import numpy as np
 
 import jax

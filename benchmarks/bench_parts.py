@@ -2,6 +2,10 @@
 import os
 import time
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), '..'))
+
 import numpy as np
 
 import jax
@@ -28,8 +32,7 @@ def main():
 
     B = int(os.environ.get("B", "32"))
     S = int(os.environ.get("S", "256"))
-    template = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "template", "sphere.obj")
+    template = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "template", "sphere.obj")
     dr = DiffRender(template, S, ratio=1.0)
     rs = np.random.RandomState(0)
     V, F = dr.num_vertices, dr.num_faces

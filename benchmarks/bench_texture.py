@@ -1,6 +1,10 @@
 """Break down texture_mapping cost on TPU."""
 import time
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), '..'))
+
 import numpy as np
 
 import jax

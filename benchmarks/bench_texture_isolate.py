@@ -2,6 +2,10 @@
 import os
 import time
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), '..'))
+
 import numpy as np
 
 import jax
@@ -26,8 +30,7 @@ def main():
     from magicmirror.render.renderer import DiffRender
 
     B, S = 32, 256
-    template = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "template", "sphere.obj")
+    template = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "template", "sphere.obj")
     dr = DiffRender(template, S, ratio=1.0)
     rs = np.random.RandomState(0)
     V = dr.num_vertices

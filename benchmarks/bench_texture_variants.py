@@ -2,6 +2,10 @@
 so XLA can't fold anything)."""
 import time
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), '..'))
+
 import numpy as np
 
 import jax

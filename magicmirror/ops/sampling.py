@@ -159,13 +159,12 @@ def texture_mapping_mxu(texture_coordinates, texture_maps,
     tex_p = jnp.pad(texture_maps, ((0, 0), (1, 1), (1, 1), (0, 0)))
 
     def one_axis_weights(coord, size):
-        c0 = jnp.floor(coord)
-        w1 = (coord - c0)[..., None]
-        i0 = jnp.clip(c0.astype(jnp.int32), -1, size - 1) + 1  # into padded
-        iota = jnp.arange(size + 2, dtype=jnp.int32)
-        onehot0 = (iota[None, None, :] == i0[..., None]).astype(jnp.float32)
-        onehot1 = (iota[None, None, :] == (i0 + 1)[..., None]).astype(jnp.float32)
-        return onehot0 * (1.0 - w1) + onehot1 * w1  # (N, P, size+2)
+        # bilinear taps = the tent kernel: weight of texel i is
+        # max(0, 1 - |x - i|) — one expression covers both taps and zeros
+        # everywhere else (half the build cost of two one-hots)
+        x = jnp.clip(coord, -1.0, float(size)) + 1.0  # into the padded frame
+        iota = jnp.arange(size + 2, dtype=jnp.float32)
+        return jax.nn.relu(1.0 - jnp.abs(x[..., None] - iota[None, None, :]))
 
     def chunk_fn(args):
         xc, yc, texc = args
