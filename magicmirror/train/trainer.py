@@ -283,6 +283,20 @@ def trainer(opt, train_dataloader, test_dataloader, train_noaug_dataloader):
             state = swa_update(state)
             print("How many models are fused: %d" % int(state.swa_n))
 
+        if (opt.swa and epoch >= opt.swa_start and epoch % 20 == 0
+                and int(state.swa_n) > 0):
+            # re-estimate the averaged model's BN stats on the train set
+            # (torch update_bn; reference trainer.py:673-676)
+            print("===========Updating SWA BatchNorm===========")
+            from .state import make_update_bn
+
+            update_bn_fn = make_update_bn(netE, lpl)
+            rng, sub = jax.random.split(rng)
+            new_swa_stats = update_bn_fn(state.swa_params, state.swa_stats,
+                                         state.template, train_dataloader,
+                                         sub, max_batches=50)
+            state = state.replace(swa_stats=new_swa_stats)
+
         # ---- periodic artifacts (reference trainer.py:546-671)
         if epoch % 10 == 0 and last_batch is not None:
             Xa_np = np.asarray(last_batch)
