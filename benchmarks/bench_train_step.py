@@ -1,0 +1,64 @@
+"""Training-step throughput on the current device (full D+G alternation)."""
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from magicmirror.configs.flags import build_parser
+    from magicmirror.models.attribute_encoder import AttributeEncoder
+    from magicmirror.models.discriminators import Discriminator
+    from magicmirror.render.renderer import DiffRender
+    from magicmirror.train.optim import make_optimizer_d, make_optimizer_e
+    from magicmirror.train.state import create_train_state
+    from magicmirror.train.train_step import make_train_step
+
+    B = int(_os.environ.get("B", "16"))
+    S = int(_os.environ.get("S", "128"))
+    opt = build_parser().parse_args([])
+    opt.imageSize = S
+    opt.batchSize = B
+    opt.pretrains = opt.pretrainc = opt.pretraint = "none"
+
+    template = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                             "..", "template", "sphere.obj")
+    dr = DiffRender(template, S, ratio=1.0)
+    netE = AttributeEncoder(num_vertices=dr.num_vertices,
+                            pretrains="none", pretrainc="none",
+                            pretraint="none", droprate=opt.droprate)
+    netD = Discriminator(nc=3, nf=16)
+    opt_e, opt_d = make_optimizer_e(), make_optimizer_d()
+    lpl = dr.vertices_laplacian_matrix
+    state = create_train_state(jax.random.PRNGKey(0), netE, netD, opt_e,
+                               opt_d, jnp.zeros((B, S, S, 4)),
+                               dr.vertices_init, lpl)
+    step = make_train_step(opt, dr, netE, netD, opt_e, opt_d, lpl,
+                           donate=False)
+    rs = np.random.RandomState(0)
+    Xa = jnp.asarray(rs.rand(B, S, S, 4).astype(np.float32))
+    rng = jax.random.PRNGKey(0)
+    t0 = time.perf_counter()
+    state, m, *_ = step(state, Xa, rng, 1e-4, 1e-4, 1.0, 0)
+    jax.block_until_ready(m["lossR"])
+    print(f"compile+first step: {time.perf_counter()-t0:.1f}s")
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        rng, sub = jax.random.split(rng)
+        state, m, *_ = step(state, Xa, sub, 1e-4, 1e-4, 1.0, 0)
+    jax.block_until_ready(m["lossR"])
+    dt = (time.perf_counter() - t0) / iters
+    print(f"train step (B={B}, {S}x{S}): {dt*1e3:.1f} ms → "
+          f"{B/dt:.1f} imgs/sec ({dt:.3f} s/step)")
+
+
+if __name__ == "__main__":
+    main()

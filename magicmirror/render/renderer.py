@@ -37,7 +37,11 @@ class DiffRender:
     def __init__(self, mesh_name: str, image_size: int, ratio: float = 1.0,
                  init_ellipsoid: float = 1.0, image_weight: float = 0.1,
                  lambda_lpl: float = 0.1, lambda_flat: float = 0.001,
-                 sigmainv: float = 7000.0, backend: str = "xla"):
+                 sigmainv: float = 7000.0, backend: str = "auto"):
+        if backend == "auto":
+            import jax
+
+            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
         self.image_size = int(image_size)
         self.ratio = ratio
         self.render_height = round(ratio * image_size)
