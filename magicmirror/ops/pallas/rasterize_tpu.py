@@ -30,8 +30,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# packed face-row layout
-_AX, _AY, _BX, _BY, _CX, _CY, _Z0, _Z1, _Z2, _FNZ, _XMIN, _XMAX, _YMIN, _YMAX = range(14)
+# packed face-row layout (reciprocal edge lengths serve the 'line' soft mode)
+(_AX, _AY, _BX, _BY, _CX, _CY, _Z0, _Z1, _Z2, _FNZ, _XMIN, _XMAX, _YMIN,
+ _YMAX, _RL0, _RL1, _RL2) = range(17)
+_NROWS = 17
 
 _DEN_EPS = 1e-10
 _P_CLAMP = 1.0 - 1e-7
@@ -42,7 +44,9 @@ _SOFT_MARGIN = 0.035
 
 
 def _pack_faces(fvi, fz, fnz, chunk: int):
-    """(F,3,2)/(F,3)/(F,) → (14, F_pad) packed rows, F padded to ``chunk``."""
+    """(F,3,2)/(F,3)/(F,) → (_NROWS, F_pad) packed rows, F padded to
+    ``chunk``.  Rows _RL* hold reciprocal edge lengths (for the 'line' soft
+    mode) in the cross-product order: edge (b,c), (c,a), (a,b)."""
     F = fvi.shape[0]
     pad = (-F) % chunk
     if pad:
@@ -51,9 +55,15 @@ def _pack_faces(fvi, fz, fnz, chunk: int):
         fnz = jnp.concatenate([fnz, jnp.full((pad,), -1.0, fnz.dtype)], 0)
     xs = fvi[:, :, 0]
     ys = fvi[:, :, 1]
+
+    def rlen(i, j):
+        d = fvi[:, j] - fvi[:, i]
+        return jax.lax.rsqrt(jnp.sum(d * d, axis=1) + 1e-12)
+
     rows = [fvi[:, 0, 0], fvi[:, 0, 1], fvi[:, 1, 0], fvi[:, 1, 1],
             fvi[:, 2, 0], fvi[:, 2, 1], fz[:, 0], fz[:, 1], fz[:, 2], fnz,
-            xs.min(1), xs.max(1), ys.min(1), ys.max(1)]
+            xs.min(1), xs.max(1), ys.min(1), ys.max(1),
+            rlen(1, 2), rlen(2, 0), rlen(0, 1)]
     return jnp.stack(rows, axis=0)
 
 
@@ -83,8 +93,10 @@ def _kernel(px_ref, py_ref, faces_ref, idx_ref, sumlog_ref, *, n_chunks,
             cx, cy = f[_CX][None], f[_CY][None]
             den = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
             safe_den = jnp.where(jnp.abs(den) > _DEN_EPS, den, 1.0)
-            w0 = ((cx - bx) * (p_y - by) - (cy - by) * (p_x - bx)) / safe_den
-            w1 = ((ax - cx) * (p_y - cy) - (ay - cy) * (p_x - cx)) / safe_den
+            cross0 = (cx - bx) * (p_y - by) - (cy - by) * (p_x - bx)
+            cross1 = (ax - cx) * (p_y - cy) - (ay - cy) * (p_x - cx)
+            w0 = cross0 / safe_den
+            w1 = cross1 / safe_den
             w2 = 1.0 - w0 - w1
             valid = overlap[None] & (jnp.abs(den) > _DEN_EPS)
             inside = (w0 >= 0.0) & (w1 >= 0.0) & (w2 >= 0.0) & valid
@@ -147,7 +159,7 @@ def _phase1_pallas_fwd_impl(px, py, faces_packed, *, tp, chunk, sigmainv,
         in_specs=[
             pl.BlockSpec((tp, 1), lambda t: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tp, 1), lambda t: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((14, Fp), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_NROWS, Fp), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((tp, 1), lambda t: (t, 0), memory_space=pltpu.VMEM),
@@ -168,12 +180,12 @@ def _phase1_pallas_fwd_impl(px, py, faces_packed, *, tp, chunk, sigmainv,
 # count = ceil(band_count / chunk).  A per-chunk lax.cond cannot skip work on
 # TPU (Mosaic predicates both branches) — a dynamic loop bound can.
 
-_ID_ROW = 14  # extra packed row: original face id (exact in f32 up to 2^24)
+_ID_ROW = _NROWS  # extra packed row: original face id (exact in f32 up to 2^24)
 
 
 def _bin_faces(fvi, fz, fnz, n_bands: int, chunk: int, margin: float,
                capacity: int | None = None):
-    """→ (banded (NB, 15, K) f32, counts (NB,) i32).  K = F padded (or
+    """→ (banded (NB, _NROWS+1, K) f32, counts (NB,) i32).  K = F padded (or
     ``capacity`` when set — bands overflowing the capacity drop the excess
     faces, trading exactness for a STATIC kernel trip count); backfaces and
     degenerate faces are dropped at binning time (they contribute to neither
@@ -200,12 +212,12 @@ def _bin_faces(fvi, fz, fnz, n_bands: int, chunk: int, margin: float,
         lists, slot, ids)
     lists = lists[:, :K]  # (NB, K) face ids, garbage past counts[b]
 
-    packed = _pack_faces(fvi, fz, fnz, chunk)  # (14, F_padded)
+    packed = _pack_faces(fvi, fz, fnz, chunk)  # (_NROWS, F_padded)
     packed = jnp.concatenate(
         [packed, jnp.arange(packed.shape[1], dtype=jnp.float32)[None]],
-        axis=0)  # (15, F_padded)
-    banded = packed[:, lists]  # (15, NB, K) via fancy gather
-    banded = jnp.transpose(banded, (1, 0, 2))  # (NB, 15, K)
+        axis=0)  # (_NROWS+1, F_padded)
+    banded = packed[:, lists]  # (_NROWS+1, NB, K) via fancy gather
+    banded = jnp.transpose(banded, (1, 0, 2))  # (NB, _NROWS+1, K)
     # mask out the padding tail: mark entries past count as backfacing
     lane = jnp.broadcast_to(jnp.arange(K)[None], (n_bands, K))
     tail = lane >= counts[:, None]
@@ -215,7 +227,7 @@ def _bin_faces(fvi, fz, fnz, n_bands: int, chunk: int, margin: float,
 
 
 def _banded_kernel(counts_ref, px_ref, py_ref, faces_ref, idx_ref, sumlog_ref,
-                   *, chunk, sigmainv):
+                   *, chunk, sigmainv, soft_mode="exact"):
     b = pl.program_id(0)
     count = counts_ref[b]
     p_x = px_ref[:]  # (TP, 1)
@@ -224,15 +236,17 @@ def _banded_kernel(counts_ref, px_ref, py_ref, faces_ref, idx_ref, sumlog_ref,
 
     def body(c, carry):
         best_z, best_idx, sumlog = carry
-        f = faces_ref[0, :, pl.ds(c * chunk, chunk)]  # (15, C)
+        f = faces_ref[0, :, pl.ds(c * chunk, chunk)]  # (_NROWS+1, C)
         ax, ay = f[_AX][None], f[_AY][None]
         bx, by = f[_BX][None], f[_BY][None]
         cx, cy = f[_CX][None], f[_CY][None]
         alive = f[_FNZ] > 0.0
         den = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
         safe_den = jnp.where(jnp.abs(den) > _DEN_EPS, den, 1.0)
-        w0 = ((cx - bx) * (p_y - by) - (cy - by) * (p_x - bx)) / safe_den
-        w1 = ((ax - cx) * (p_y - cy) - (ay - cy) * (p_x - cx)) / safe_den
+        cross0 = (cx - bx) * (p_y - by) - (cy - by) * (p_x - bx)
+        cross1 = (ax - cx) * (p_y - cy) - (ay - cy) * (p_x - cx)
+        w0 = cross0 / safe_den
+        w1 = cross1 / safe_den
         w2 = 1.0 - w0 - w1
         valid = alive[None] & (jnp.abs(den) > _DEN_EPS)
         inside = (w0 >= 0.0) & (w1 >= 0.0) & (w2 >= 0.0) & valid
@@ -248,18 +262,30 @@ def _banded_kernel(counts_ref, px_ref, py_ref, faces_ref, idx_ref, sumlog_ref,
         best_z = jnp.where(take, cz, best_z)
         best_idx = jnp.where(take, cid, best_idx)
 
-        def seg_d2(qx, qy, rx, ry):
-            ex = rx - qx
-            ey = ry - qy
-            t = ((p_x - qx) * ex + (p_y - qy) * ey) / (ex * ex + ey * ey + 1e-12)
-            t = jnp.clip(t, 0.0, 1.0)
-            dx = p_x - qx - t * ex
-            dy = p_y - qy - t * ey
-            return dx * dx + dy * dy
+        if soft_mode == "line":
+            crs2 = den - cross0 - cross1
+            sgn = jnp.where(den >= 0, 1.0, -1.0)
+            d_line = jnp.maximum(
+                jnp.maximum(-sgn * cross0 * f[_RL0][None],
+                            -sgn * cross1 * f[_RL1][None]),
+                -sgn * crs2 * f[_RL2][None])
+            dbx = jnp.maximum(f[_XMIN][None] - p_x, p_x - f[_XMAX][None])
+            dby = jnp.maximum(f[_YMIN][None] - p_y, p_y - f[_YMAX][None])
+            d_line = jnp.maximum(d_line, jnp.maximum(dbx, dby))
+            d2 = jnp.maximum(d_line, 0.0) ** 2
+        else:
+            def seg_d2(qx, qy, rx, ry):
+                ex = rx - qx
+                ey = ry - qy
+                t = ((p_x - qx) * ex + (p_y - qy) * ey) / (ex * ex + ey * ey + 1e-12)
+                t = jnp.clip(t, 0.0, 1.0)
+                dx = p_x - qx - t * ex
+                dy = p_y - qy - t * ey
+                return dx * dx + dy * dy
 
-        d2 = jnp.minimum(jnp.minimum(seg_d2(ax, ay, bx, by),
-                                     seg_d2(bx, by, cx, cy)),
-                         seg_d2(cx, cy, ax, ay))
+            d2 = jnp.minimum(jnp.minimum(seg_d2(ax, ay, bx, by),
+                                         seg_d2(bx, by, cx, cy)),
+                             seg_d2(cx, cy, ax, ay))
         d2 = jnp.where(inside, 0.0, d2)
         p_soft = jnp.where(alive[None], _P_CLAMP * jnp.exp(-d2 * sigmainv), 0.0)
         sumlog = sumlog + jnp.sum(jnp.log1p(-p_soft), axis=1, keepdims=True)
@@ -276,7 +302,7 @@ def _banded_kernel(counts_ref, px_ref, py_ref, faces_ref, idx_ref, sumlog_ref,
 
 
 def _phase1_banded_impl(px, py, fvi, fz, fnz, sigmainv, width, band_rows,
-                        chunk, interpret):
+                        chunk, interpret, soft_mode="exact"):
     """px/py must be the full row-major H x W grid; one band per tile."""
     P = px.shape[0]
     H = P // width
@@ -287,7 +313,8 @@ def _phase1_banded_impl(px, py, fvi, fz, fnz, sigmainv, width, band_rows,
     px2 = px.reshape(P, 1)
     py2 = py.reshape(P, 1)
 
-    kernel = functools.partial(_banded_kernel, chunk=chunk, sigmainv=sigmainv)
+    kernel = functools.partial(_banded_kernel, chunk=chunk, sigmainv=sigmainv,
+                               soft_mode=soft_mode)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_bands,),
@@ -296,7 +323,7 @@ def _phase1_banded_impl(px, py, fvi, fz, fnz, sigmainv, width, band_rows,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tp, 1), lambda b, c_: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 15, K), lambda b, c_: (b, 0, 0),
+            pl.BlockSpec((1, _NROWS + 1, K), lambda b, c_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -320,7 +347,7 @@ def _phase1_banded_impl(px, py, fvi, fz, fnz, sigmainv, width, band_rows,
 
 def _image_kernel(counts_ref, faces_ref, idx_ref, sumlog_ref, *, chunk,
                   sigmainv, n_bands, band_rows, height, width,
-                  static_chunks=None):
+                  static_chunks=None, soft_mode="exact"):
     """v3: ONE program rasterizes the whole image, looping bands internally —
     amortizes per-program overhead.  With ``static_chunks`` (capacity-capped
     bins) every loop bound is static: a dynamic while-loop costs ~20us of
@@ -341,15 +368,17 @@ def _image_kernel(counts_ref, faces_ref, idx_ref, sumlog_ref, *, chunk,
 
         def body(c, carry):
             best_z, best_idx, sumlog = carry
-            f = faces_ref[b, :, pl.ds(c * chunk, chunk)]  # (15, C)
+            f = faces_ref[b, :, pl.ds(c * chunk, chunk)]  # (_NROWS+1, C)
             ax, ay = f[_AX][None], f[_AY][None]
             bx, by = f[_BX][None], f[_BY][None]
             cx, cy = f[_CX][None], f[_CY][None]
             alive = f[_FNZ] > 0.0
             den = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
             safe_den = jnp.where(jnp.abs(den) > _DEN_EPS, den, 1.0)
-            w0 = ((cx - bx) * (p_y - by) - (cy - by) * (p_x - bx)) / safe_den
-            w1 = ((ax - cx) * (p_y - cy) - (ay - cy) * (p_x - cx)) / safe_den
+            cross0 = (cx - bx) * (p_y - by) - (cy - by) * (p_x - bx)
+            cross1 = (ax - cx) * (p_y - cy) - (ay - cy) * (p_x - cx)
+            w0 = cross0 / safe_den
+            w1 = cross1 / safe_den
             w2 = 1.0 - w0 - w1
             valid = alive[None] & (jnp.abs(den) > _DEN_EPS)
             inside = (w0 >= 0.0) & (w1 >= 0.0) & (w2 >= 0.0) & valid
@@ -363,19 +392,33 @@ def _image_kernel(counts_ref, faces_ref, idx_ref, sumlog_ref, *, chunk,
             best_z = jnp.where(take, cz, best_z)
             best_idx = jnp.where(take, cid, best_idx)
 
-            def seg_d2(qx, qy, rx, ry):
-                ex = rx - qx
-                ey = ry - qy
-                t = ((p_x - qx) * ex + (p_y - qy) * ey) / (
-                    ex * ex + ey * ey + 1e-12)
-                t = jnp.clip(t, 0.0, 1.0)
-                dx = p_x - qx - t * ex
-                dy = p_y - qy - t * ey
-                return dx * dx + dy * dy
+            if soft_mode == "line":
+                crs2 = den - cross0 - cross1
+                sgn = jnp.where(den >= 0, 1.0, -1.0)
+                d_line = jnp.maximum(
+                    jnp.maximum(-sgn * cross0 * f[_RL0][None],
+                                -sgn * cross1 * f[_RL1][None]),
+                    -sgn * crs2 * f[_RL2][None])
+                # floor with the bbox distance (line dist leaks along
+                # edge extensions)
+                dbx = jnp.maximum(f[_XMIN][None] - p_x, p_x - f[_XMAX][None])
+                dby = jnp.maximum(f[_YMIN][None] - p_y, p_y - f[_YMAX][None])
+                d_line = jnp.maximum(d_line, jnp.maximum(dbx, dby))
+                d2 = jnp.maximum(d_line, 0.0) ** 2
+            else:
+                def seg_d2(qx, qy, rx, ry):
+                    ex = rx - qx
+                    ey = ry - qy
+                    t = ((p_x - qx) * ex + (p_y - qy) * ey) / (
+                        ex * ex + ey * ey + 1e-12)
+                    t = jnp.clip(t, 0.0, 1.0)
+                    dx = p_x - qx - t * ex
+                    dy = p_y - qy - t * ey
+                    return dx * dx + dy * dy
 
-            d2 = jnp.minimum(jnp.minimum(seg_d2(ax, ay, bx, by),
-                                         seg_d2(bx, by, cx, cy)),
-                             seg_d2(cx, cy, ax, ay))
+                d2 = jnp.minimum(jnp.minimum(seg_d2(ax, ay, bx, by),
+                                             seg_d2(bx, by, cx, cy)),
+                                 seg_d2(cx, cy, ax, ay))
             d2 = jnp.where(inside, 0.0, d2)
             p_soft = jnp.where(alive[None],
                                _P_CLAMP * jnp.exp(-d2 * sigmainv), 0.0)
@@ -424,7 +467,7 @@ def _band_capacity(F_padded: int, n_bands: int, chunk: int) -> int:
 
 
 def _phase1_image_impl(fvi, fz, fnz, sigmainv, height, width, band_rows,
-                       chunk, interpret):
+                       chunk, interpret, soft_mode="exact"):
     P = height * width
     n_bands = height // band_rows
     F_padded = fvi.shape[0] + ((-fvi.shape[0]) % chunk)
@@ -436,12 +479,12 @@ def _phase1_image_impl(fvi, fz, fnz, sigmainv, height, width, band_rows,
     kernel = functools.partial(_image_kernel, chunk=chunk, sigmainv=sigmainv,
                                n_bands=n_bands, band_rows=band_rows,
                                height=height, width=width,
-                               static_chunks=K // chunk)
+                               static_chunks=K // chunk, soft_mode=soft_mode)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
         in_specs=[
-            pl.BlockSpec((n_bands, 15, K), lambda g, c_: (0, 0, 0),
+            pl.BlockSpec((n_bands, _NROWS + 1, K), lambda g, c_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -463,30 +506,33 @@ def _phase1_image_impl(fvi, fz, fnz, sigmainv, height, width, band_rows,
     return best_idx.reshape(P), sumlog.reshape(P)
 
 
-def _sumlog_xla(px, py, fvi, fz, fnz, sigmainv):
+def _sumlog_xla(px, py, fvi, fz, fnz, sigmainv, soft_mode="exact"):
     """Reference soft-accumulator used for the backward pass (matches the
     scan implementation in ops/rasterize.py)."""
     from ..rasterize import _rasterize_phase1
 
-    _, sumlog = _rasterize_phase1(px, py, fvi, fz, fnz, sigmainv, chunk=256)
+    _, sumlog = _rasterize_phase1(px, py, fvi, fz, fnz, sigmainv, chunk=256,
+                                  soft_mode=soft_mode)
     return sumlog
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
 def _phase1(px, py, fvi, fz, fnz, sigmainv, tp, chunk, interpret, width,
-            band_rows):
+            band_rows, soft_mode):
     if width is not None:
         height = px.shape[0] // width
         n_bands = height // band_rows
         F_padded = fvi.shape[0] + ((-fvi.shape[0]) % chunk)
         K = _band_capacity(F_padded, n_bands, chunk)
-        if n_bands * 15 * K * 4 <= _IMAGE_KERNEL_VMEM_BUDGET:
+        if n_bands * (_NROWS + 1) * K * 4 <= _IMAGE_KERNEL_VMEM_BUDGET:
             # v3: whole image in one program (amortized launch overhead)
             return _phase1_image_impl(fvi, fz, fnz, sigmainv, height, width,
-                                      band_rows, chunk, interpret)
+                                      band_rows, chunk, interpret,
+                                      soft_mode=soft_mode)
         # v2: one pixel band per grid step, dynamic face-loop bounds
         return _phase1_banded_impl(px, py, fvi, fz, fnz, sigmainv, width,
-                                   band_rows, chunk, interpret)
+                                   band_rows, chunk, interpret,
+                                   soft_mode=soft_mode)
     # fallback: y-sorted faces + per-chunk bbox test (static trip count)
     ymin = jnp.min(fvi[:, :, 1], axis=1)
     order = jnp.argsort(ymin)
@@ -501,19 +547,20 @@ def _phase1(px, py, fvi, fz, fnz, sigmainv, tp, chunk, interpret, width,
 
 
 def _phase1_fwd(px, py, fvi, fz, fnz, sigmainv, tp, chunk, interpret, width,
-                band_rows):
+                band_rows, soft_mode):
     out = _phase1(px, py, fvi, fz, fnz, sigmainv, tp, chunk, interpret,
-                  width, band_rows)
+                  width, band_rows, soft_mode)
     return out, (px, py, fvi, fz, fnz)
 
 
-def _phase1_bwd(sigmainv, tp, chunk, interpret, width, band_rows, res, cots):
+def _phase1_bwd(sigmainv, tp, chunk, interpret, width, band_rows, soft_mode,
+                res, cots):
     px, py, fvi, fz, fnz = res
     _, g_sumlog = cots
     # best_idx is integer (no cotangent); route the sumlog cotangent through
     # the XLA implementation's autodiff (forward values match to ~1e-6)
     _, vjp_fn = jax.vjp(
-        lambda v: _sumlog_xla(px, py, v, fz, fnz, sigmainv), fvi)
+        lambda v: _sumlog_xla(px, py, v, fz, fnz, sigmainv, soft_mode), fvi)
     (g_fvi,) = vjp_fn(g_sumlog)
     return (None, None, g_fvi, jnp.zeros_like(fz), jnp.zeros_like(fnz))
 
@@ -524,7 +571,8 @@ _phase1.defvjp(_phase1_fwd, _phase1_bwd)
 def rasterize_phase1_pallas(px, py, fvi, fz, fnz, sigmainv=7000.0,
                             tile_pixels: int = 1024, chunk: int = 128,
                             interpret: bool | None = None,
-                            width: int | None = None, band_rows: int = 8):
+                            width: int | None = None, band_rows: int = 8,
+                            soft_mode: str = "exact"):
     """Phase-1 rasterization for ONE mesh (vmap over batch at the call site).
 
     px, py: (P,) NDC pixel centers (the caller's H*W row-major grid).
@@ -540,11 +588,12 @@ def rasterize_phase1_pallas(px, py, fvi, fz, fnz, sigmainv=7000.0,
                   and (P // width) % band_rows == 0)
     if use_banded:
         return _phase1(px, py, fvi, fz, fnz, float(sigmainv), tile_pixels,
-                       chunk, interpret, width, band_rows)
+                       chunk, interpret, width, band_rows, soft_mode)
     pad = (-P) % tile_pixels
     if pad:
         px = jnp.concatenate([px, jnp.full((pad,), 2.0, px.dtype)])
         py = jnp.concatenate([py, jnp.full((pad,), 2.0, py.dtype)])
     best_idx, sumlog = _phase1(px, py, fvi, fz, fnz, float(sigmainv),
-                               tile_pixels, chunk, interpret, None, band_rows)
+                               tile_pixels, chunk, interpret, None, band_rows,
+                               soft_mode)
     return best_idx[:P], sumlog[:P]

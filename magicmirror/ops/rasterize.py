@@ -60,11 +60,19 @@ def pixel_grid(height: int, width: int):
     return px.reshape(-1), py.reshape(-1)
 
 
-def _face_pixel_terms(px, py, fvi, fz, fnz, sigmainv):
+def _face_pixel_terms(px, py, fvi, fz, fnz, sigmainv, soft_mode="exact"):
     """Per (pixel, face) quantities for one face chunk.
 
     px, py: (P,); fvi: (C, 3, 2); fz: (C, 3); fnz: (C,).
     Returns z_interp (P, C) with -inf where not covering, and log(1-p) (P, C).
+
+    soft_mode:
+      'exact' — d = min distance to the triangle's three edge SEGMENTS
+                (kaolin DIB-R semantics);
+      'line'  — d = max signed distance to the edge LINES, reusing the
+                barycentric cross products (~40% fewer ops; only corner
+                Voronoi regions differ, where d is underestimated by at most
+                the corner angle factor — invisible at sigmainv=7000).
     """
     ax, ay = fvi[:, 0, 0], fvi[:, 0, 1]
     bx, by = fvi[:, 1, 0], fvi[:, 1, 1]
@@ -73,12 +81,13 @@ def _face_pixel_terms(px, py, fvi, fz, fnz, sigmainv):
     p_y = py[:, None]
 
     den = _cross2(bx - ax, by - ay, cx - ax, cy - ay)[None, :]  # (1, C)
-    w0 = _cross2(cx[None] - bx[None], cy[None] - by[None], p_x - bx[None], p_y - by[None]) / jnp.where(
-        jnp.abs(den) > _DEN_EPS, den, 1.0
-    )
-    w1 = _cross2(ax[None] - cx[None], ay[None] - cy[None], p_x - cx[None], p_y - cy[None]) / jnp.where(
-        jnp.abs(den) > _DEN_EPS, den, 1.0
-    )
+    safe_den = jnp.where(jnp.abs(den) > _DEN_EPS, den, 1.0)
+    cross0 = _cross2(cx[None] - bx[None], cy[None] - by[None],
+                     p_x - bx[None], p_y - by[None])
+    cross1 = _cross2(ax[None] - cx[None], ay[None] - cy[None],
+                     p_x - cx[None], p_y - cy[None])
+    w0 = cross0 / safe_den
+    w1 = cross1 / safe_den
     w2 = 1.0 - w0 - w1
 
     front = fnz[None, :] > 0.0
@@ -88,10 +97,31 @@ def _face_pixel_terms(px, py, fvi, fz, fnz, sigmainv):
     z = w0 * fz[None, :, 0] + w1 * fz[None, :, 1] + w2 * fz[None, :, 2]
     z_sel = jnp.where(inside, z, -jnp.inf)
 
-    d2e0 = _segment_dist2(p_x, p_y, ax[None], ay[None], bx[None], by[None])
-    d2e1 = _segment_dist2(p_x, p_y, bx[None], by[None], cx[None], cy[None])
-    d2e2 = _segment_dist2(p_x, p_y, cx[None], cy[None], ax[None], ay[None])
-    d2 = jnp.minimum(jnp.minimum(d2e0, d2e1), d2e2)
+    if soft_mode == "line":
+        def rlen(ux, uy, vx, vy):
+            dx = vx - ux
+            dy = vy - uy
+            return jax.lax.rsqrt(dx * dx + dy * dy + 1e-12)
+
+        cross2_ = den - cross0 - cross1
+        sgn = jnp.where(den >= 0, 1.0, -1.0)  # CW-projected faces flip signs
+        d_line = jnp.maximum(
+            jnp.maximum(-sgn * cross0 * rlen(bx, by, cx, cy)[None],
+                        -sgn * cross1 * rlen(cx, cy, ax, ay)[None]),
+            -sgn * cross2_ * rlen(ax, ay, bx, by)[None])
+        # line distance leaks along edge-line extensions — floor it with the
+        # (axis-aligned) bbox distance, a lower bound on the true distance
+        xs = fvi[:, :, 0]
+        ys = fvi[:, :, 1]
+        dbx = jnp.maximum(xs.min(1)[None] - p_x, p_x - xs.max(1)[None])
+        dby = jnp.maximum(ys.min(1)[None] - p_y, p_y - ys.max(1)[None])
+        d_line = jnp.maximum(d_line, jnp.maximum(dbx, dby))
+        d2 = jnp.maximum(d_line, 0.0) ** 2
+    else:
+        d2e0 = _segment_dist2(p_x, p_y, ax[None], ay[None], bx[None], by[None])
+        d2e1 = _segment_dist2(p_x, p_y, bx[None], by[None], cx[None], cy[None])
+        d2e2 = _segment_dist2(p_x, p_y, cx[None], cy[None], ax[None], ay[None])
+        d2 = jnp.minimum(jnp.minimum(d2e0, d2e1), d2e2)
     d2 = jnp.where(inside, 0.0, d2)
     p_soft = jnp.where(front, _P_CLAMP * jnp.exp(-d2 * sigmainv), 0.0)
     log1mp = jnp.log1p(-p_soft)
@@ -99,7 +129,7 @@ def _face_pixel_terms(px, py, fvi, fz, fnz, sigmainv):
 
 
 def _rasterize_phase1(px, py, face_vertices_image, face_vertices_z, face_normals_z,
-                      sigmainv, chunk: int):
+                      sigmainv, chunk: int, soft_mode: str = "exact"):
     """Scan over face chunks → (best_idx (P,), sumlog (P,)) for ONE mesh.
 
     face arrays are padded to a multiple of ``chunk`` with backfacing faces.
@@ -129,7 +159,8 @@ def _rasterize_phase1(px, py, face_vertices_image, face_vertices_z, face_normals
     def body(carry, xs):
         best_z, best_idx, sumlog = carry
         fvi_c, fz_c, fnz_c, base = xs
-        z_sel, log1mp = _face_pixel_terms(px, py, fvi_c, fz_c, fnz_c, sigmainv)
+        z_sel, log1mp = _face_pixel_terms(px, py, fvi_c, fz_c, fnz_c, sigmainv,
+                                          soft_mode=soft_mode)
         # selection is not differentiable — phase 2 recomputes the winner's math
         z_sel_ng = jax.lax.stop_gradient(z_sel)
         chunk_best = jnp.argmax(z_sel_ng, axis=1)
@@ -184,10 +215,11 @@ def _interpolate_selected(px, py, best_idx, face_vertices_image, face_vertices_z
 
 
 def _dibr_single(height, width, face_vertices_z, face_vertices_image, face_features,
-                 face_normals_z, sigmainv=7000.0, chunk=256):
+                 face_normals_z, sigmainv=7000.0, chunk=256, soft_mode="exact"):
     px, py = pixel_grid(height, width)
     best_idx, sumlog = _rasterize_phase1(
-        px, py, face_vertices_image, face_vertices_z, face_normals_z, sigmainv, chunk)
+        px, py, face_vertices_image, face_vertices_z, face_normals_z, sigmainv,
+        chunk, soft_mode=soft_mode)
     feats, hard = _interpolate_selected(
         px, py, best_idx, face_vertices_image, face_vertices_z, face_features)
     soft = 1.0 - jnp.exp(sumlog)
@@ -196,7 +228,8 @@ def _dibr_single(height, width, face_vertices_z, face_vertices_image, face_featu
 
 def dibr_rasterization(height, width, face_vertices_z, face_vertices_image,
                        face_features, face_normals_z, sigmainv=7000.0,
-                       chunk: int = 256, backend: str = "xla"):
+                       chunk: int = 256, backend: str = "xla",
+                       soft_mode: str = "exact"):
     """Batched soft rasterization; API mirrors kaolin ``dibr_rasterization``.
 
     Args:
@@ -233,7 +266,7 @@ def dibr_rasterization(height, width, face_vertices_z, face_vertices_image,
         best_idx, sumlog = jax.vmap(
             lambda fvi, fz, fnz: rasterize_phase1_pallas(
                 px, py, fvi, fz, fnz, sigmainv, width=width,
-                band_rows=band_rows)
+                band_rows=band_rows, soft_mode=soft_mode)
         )(face_vertices_image, face_vertices_z, face_normals_z)
         out, hard = jax.vmap(
             lambda bi, fvi, fz, ff: _interpolate_selected(px, py, bi, fvi, fz, ff)
@@ -242,7 +275,8 @@ def dibr_rasterization(height, width, face_vertices_z, face_vertices_image,
     else:
         out, soft, hard, best_idx = jax.vmap(
             lambda fz, fvi, ff, fnz: _dibr_single(
-                height, width, fz, fvi, ff, fnz, sigmainv=sigmainv, chunk=chunk)
+                height, width, fz, fvi, ff, fnz, sigmainv=sigmainv, chunk=chunk,
+                soft_mode=soft_mode)
         )(face_vertices_z, face_vertices_image, feats, face_normals_z)
 
     B = feats.shape[0]

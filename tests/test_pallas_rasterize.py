@@ -78,3 +78,42 @@ def test_banded_matches_xla(band_rows, rng):
     np.testing.assert_array_equal(np.asarray(idx_b), np.asarray(idx_ref))
     np.testing.assert_allclose(np.asarray(sum_b), np.asarray(sum_ref),
                                atol=5e-4, rtol=1e-4)
+
+
+def test_line_soft_mode_close_to_exact(rng):
+    """'line' soft distance differs from 'exact' only in corner Voronoi
+    regions — the aggregated silhouette must stay close at real sigmainv."""
+    H = W = 32
+    F = 30
+    px, py = pixel_grid(H, W)
+    fvi = jnp.asarray(rng.uniform(-1, 1, (F, 3, 2)).astype(np.float32))
+    fz = jnp.asarray(rng.uniform(-4, -2, (F, 3)).astype(np.float32))
+    fnz = jnp.asarray(rng.uniform(-1, 1, F).astype(np.float32))
+    idx_e, sum_e = _rasterize_phase1(px, py, fvi, fz, fnz, 7000.0, 64,
+                                     soft_mode="exact")
+    idx_l, sum_l = _rasterize_phase1(px, py, fvi, fz, fnz, 7000.0, 64,
+                                     soft_mode="line")
+    np.testing.assert_array_equal(np.asarray(idx_e), np.asarray(idx_l))
+    soft_e = 1 - np.exp(np.asarray(sum_e))
+    soft_l = 1 - np.exp(np.asarray(sum_l))
+    # line-mode silhouette is a superset (underestimates distance): soft_l >= soft_e
+    assert (soft_l >= soft_e - 1e-4).all()
+    assert np.abs(soft_l - soft_e).mean() < 0.02
+
+
+@pytest.mark.parametrize("soft_mode", ["exact", "line"])
+def test_banded_kernel_soft_modes(soft_mode, rng):
+    H = W = 32
+    F = 40
+    px, py = pixel_grid(H, W)
+    fvi = jnp.asarray(rng.uniform(-1, 1, (F, 3, 2)).astype(np.float32))
+    fz = jnp.asarray(rng.uniform(-4, -2, (F, 3)).astype(np.float32))
+    fnz = jnp.asarray(rng.uniform(-1, 1, F).astype(np.float32))
+    idx_ref, sum_ref = _rasterize_phase1(px, py, fvi, fz, fnz, 7000.0, 64,
+                                         soft_mode=soft_mode)
+    idx_b, sum_b = rasterize_phase1_pallas(px, py, fvi, fz, fnz, 7000.0,
+                                           chunk=64, interpret=True, width=W,
+                                           band_rows=8, soft_mode=soft_mode)
+    np.testing.assert_array_equal(np.asarray(idx_b), np.asarray(idx_ref))
+    np.testing.assert_allclose(np.asarray(sum_b), np.asarray(sum_ref),
+                               atol=5e-4, rtol=1e-4)
