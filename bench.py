@@ -37,7 +37,9 @@ def main():
     # default stays at the safe 12x heuristic for arbitrary cameras
     os.environ.setdefault("MAGICMIRROR_BAND_CAPACITY", "128")
 
-    dr = DiffRender(template, image_size, ratio=1.0, backend=backend)
+    soft_mode = os.environ.get("BENCH_SOFT_MODE", "line")
+    dr = DiffRender(template, image_size, ratio=1.0, backend=backend,
+                    soft_mode=soft_mode)
     rng = np.random.RandomState(0)
     V = dr.num_vertices
     att = {

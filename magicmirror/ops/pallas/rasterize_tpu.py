@@ -430,10 +430,11 @@ def _image_kernel(counts_ref, faces_ref, idx_ref, sumlog_ref, *, chunk,
                 jnp.full((tp, 1), jnp.inf, jnp.float32),
                 jnp.zeros((tp, 1), jnp.float32))
         if static_chunks is not None:
-            carry = init
-            for c in range(static_chunks):
-                carry = body(c, carry)
-            best_z, best_idx, sumlog = carry
+            # STATIC bound (trace-time constant): no dynamic-loop pipeline
+            # flush, and fori_loop (vs Python unrolling) keeps one body's
+            # worth of live VMEM temps
+            best_z, best_idx, sumlog = jax.lax.fori_loop(
+                0, static_chunks, body, init)
         else:
             n_chunks = (count + chunk - 1) // chunk
             best_z, best_idx, sumlog = jax.lax.fori_loop(0, n_chunks, body,

@@ -259,7 +259,8 @@ def dibr_rasterization(height, width, face_vertices_z, face_vertices_image,
 
         px, py = pixel_grid(height, width)
         # keep the (tile_pixels x chunk) working set inside the ~16MB VMEM:
-        # tile ≈ 1024 px (band_rows rows of `width`)
+        # tile ≈ 1024 px (band_rows rows of `width`) — ~20 live (tp, chunk)
+        # fp32 temps must fit beside the banded face table
         band_rows = max(1, 1024 // width)
         while band_rows > 1 and height % band_rows:
             band_rows //= 2

@@ -37,11 +37,15 @@ class DiffRender:
     def __init__(self, mesh_name: str, image_size: int, ratio: float = 1.0,
                  init_ellipsoid: float = 1.0, image_weight: float = 0.1,
                  lambda_lpl: float = 0.1, lambda_flat: float = 0.001,
-                 sigmainv: float = 7000.0, backend: str = "auto"):
+                 sigmainv: float = 7000.0, backend: str = "auto",
+                 soft_mode: str = "exact"):
         if backend == "auto":
             import jax
 
             backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # 'exact' = kaolin segment-distance silhouette; 'line' trades corner
+        # exactness for ~40% fewer rasterizer ops (see ops/rasterize.py)
+        self.soft_mode = soft_mode
         self.image_size = int(image_size)
         self.ratio = ratio
         self.render_height = round(ratio * image_size)
@@ -119,7 +123,8 @@ class DiffRender:
             self.render_height, self.render_width,
             face_vertices_camera[:, :, :, 2], face_vertices_image,
             face_attributes, face_normals[:, :, 2],
-            sigmainv=self.sigmainv, backend=self.backend)
+            sigmainv=self.sigmainv, backend=self.backend,
+            soft_mode=self.soft_mode)
 
         texmask, texcoord, imnormal = image_features
 
