@@ -23,7 +23,7 @@ def main():
     template = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "template", "sphere.obj")
     image_size = 256
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
     backend = os.environ.get("BENCH_BACKEND", "auto")
     if backend == "auto":
         backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
