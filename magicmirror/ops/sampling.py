@@ -129,7 +129,7 @@ def _bicubic_sample(image, x, y, padding_mode):
 
 
 def texture_mapping_mxu(texture_coordinates, texture_maps,
-                        compute_dtype=jnp.bfloat16, batch_chunk: int = 2):
+                        compute_dtype=jnp.bfloat16, batch_chunk: int | None = None):
     """Bilinear UV sampling as two MXU contractions (kaolin
     ``texture_mapping`` semantics, like :func:`texture_mapping`).
 
@@ -145,6 +145,10 @@ def texture_mapping_mxu(texture_coordinates, texture_maps,
     before the bf16 cast; colors are 8-bit-bounded so bf16 is lossless in
     practice.  Batch is chunked to bound the (P, Ht) weight materialization.
     """
+    import os as _os
+
+    if batch_chunk is None:
+        batch_chunk = int(_os.environ.get("MAGICMIRROR_TEX_CHUNK", "1"))
     uv = jnp.clip(texture_coordinates, 0.0, 1.0)
     N, Hg, Wg, _ = uv.shape
     Nt, Ht, Wt, C = texture_maps.shape
