@@ -184,7 +184,7 @@ _ID_ROW = _NROWS  # extra packed row: original face id (exact in f32 up to 2^24)
 
 
 def _bin_faces(fvi, fz, fnz, n_bands: int, chunk: int, margin: float,
-               capacity: int | None = None):
+               capacity: int | None = None, extra_rows=None):
     """→ (banded (NB, _NROWS+1, K) f32, counts (NB,) i32).  K = F padded (or
     ``capacity`` when set — bands overflowing the capacity drop the excess
     faces, trading exactness for a STATIC kernel trip count); backfaces and
@@ -216,6 +216,13 @@ def _bin_faces(fvi, fz, fnz, n_bands: int, chunk: int, margin: float,
     packed = jnp.concatenate(
         [packed, jnp.arange(packed.shape[1], dtype=jnp.float32)[None]],
         axis=0)  # (_NROWS+1, F_padded)
+    if extra_rows is not None:
+        pad_f = packed.shape[1] - extra_rows.shape[1]
+        if pad_f:
+            extra_rows = jnp.concatenate(
+                [extra_rows, jnp.zeros((extra_rows.shape[0], pad_f),
+                                       extra_rows.dtype)], axis=1)
+        packed = jnp.concatenate([packed, extra_rows], axis=0)
     banded = packed[:, lists]  # (_NROWS+1, NB, K) via fancy gather
     banded = jnp.transpose(banded, (1, 0, 2))  # (NB, _NROWS+1, K)
     # mask out the padding tail: mark entries past count as backfacing
@@ -598,3 +605,243 @@ def rasterize_phase1_pallas(px, py, fvi, fz, fnz, sigmainv=7000.0,
                                tile_pixels, chunk, interpret, None, band_rows,
                                soft_mode)
     return best_idx[:P], sumlog[:P]
+
+
+# --------------------------------------------------- fused standard pipeline
+# The renderer's standard attributes (mask=coverage, uv, face normal) can be
+# selected for the winning face INSIDE the kernel — the winner's barycentrics
+# are live at z-test time — which removes the separate phase-2 gather pass.
+# Extra packed rows after the id row: u0,u1,u2, v0,v1,v2, nx,ny,nz.
+_FUSED_BASE = _NROWS + 1
+(_UA, _UB, _UC, _VA, _VB, _VC, _NXR, _NYR, _NZR) = range(
+    _FUSED_BASE, _FUSED_BASE + 9)
+_FUSED_ROWS = _FUSED_BASE + 9
+
+
+def _image_kernel_fused(counts_ref, faces_ref, out_ref, *, chunk, sigmainv,
+                        n_bands, band_rows, height, width, static_chunks,
+                        soft_mode):
+    # single packed (P, 8) output: a (P,1) VMEM window pads its lane dim to
+    # 128 (33.5 MB each at 256²!) — packing the 7 logical outputs into one
+    # 8-lane buffer keeps the whole output at one window's footprint.
+    # columns: 0=winner id (f32), 1=sumlog, 2=u, 3=v, 4..6=normal, 7=pad
+    tp = band_rows * width
+
+    def band_body(b, _):
+        r = jax.lax.broadcasted_iota(jnp.int32, (tp, 1), 0)
+        flat = b * tp + r
+        row = flat // width
+        col = flat - row * width
+        p_x = (2.0 * col.astype(jnp.float32) + 1.0) / width - 1.0
+        p_y = 1.0 - (2.0 * row.astype(jnp.float32) + 1.0) / height
+
+        def body(c, carry):
+            best_z, best_idx, sumlog, bu, bv, bnx, bny, bnz = carry
+            f = faces_ref[b, :, pl.ds(c * chunk, chunk)]  # (_FUSED_ROWS, C)
+            ax, ay = f[_AX][None], f[_AY][None]
+            bx, by = f[_BX][None], f[_BY][None]
+            cx, cy = f[_CX][None], f[_CY][None]
+            alive = f[_FNZ] > 0.0
+            den = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+            safe_den = jnp.where(jnp.abs(den) > _DEN_EPS, den, 1.0)
+            cross0 = (cx - bx) * (p_y - by) - (cy - by) * (p_x - bx)
+            cross1 = (ax - cx) * (p_y - cy) - (ay - cy) * (p_x - cx)
+            w0 = cross0 / safe_den
+            w1 = cross1 / safe_den
+            w2 = 1.0 - w0 - w1
+            valid = alive[None] & (jnp.abs(den) > _DEN_EPS)
+            inside = (w0 >= 0.0) & (w1 >= 0.0) & (w2 >= 0.0) & valid
+            z = w0 * f[_Z0][None] + w1 * f[_Z1][None] + w2 * f[_Z2][None]
+            z = jnp.where(inside, z, -jnp.inf)
+            cz = jnp.max(z, axis=1, keepdims=True)
+            onehot = (z == cz) & inside
+            cid = jnp.min(jnp.where(onehot, f[_ID_ROW][None], jnp.inf),
+                          axis=1, keepdims=True)
+            sel = onehot & (f[_ID_ROW][None] == cid)
+            u_px = w0 * f[_UA][None] + w1 * f[_UB][None] + w2 * f[_UC][None]
+            v_px = w0 * f[_VA][None] + w1 * f[_VB][None] + w2 * f[_VC][None]
+            cu = jnp.sum(jnp.where(sel, u_px, 0.0), axis=1, keepdims=True)
+            cv = jnp.sum(jnp.where(sel, v_px, 0.0), axis=1, keepdims=True)
+            cnx = jnp.sum(jnp.where(sel, f[_NXR][None], 0.0), axis=1,
+                          keepdims=True)
+            cny = jnp.sum(jnp.where(sel, f[_NYR][None], 0.0), axis=1,
+                          keepdims=True)
+            cnz = jnp.sum(jnp.where(sel, f[_NZR][None], 0.0), axis=1,
+                          keepdims=True)
+            take = cz > best_z
+            best_z = jnp.where(take, cz, best_z)
+            best_idx = jnp.where(take, cid, best_idx)
+            bu = jnp.where(take, cu, bu)
+            bv = jnp.where(take, cv, bv)
+            bnx = jnp.where(take, cnx, bnx)
+            bny = jnp.where(take, cny, bny)
+            bnz = jnp.where(take, cnz, bnz)
+
+            if soft_mode == "line":
+                crs2 = den - cross0 - cross1
+                sgn = jnp.where(den >= 0, 1.0, -1.0)
+                d_line = jnp.maximum(
+                    jnp.maximum(-sgn * cross0 * f[_RL0][None],
+                                -sgn * cross1 * f[_RL1][None]),
+                    -sgn * crs2 * f[_RL2][None])
+                dbx = jnp.maximum(f[_XMIN][None] - p_x, p_x - f[_XMAX][None])
+                dby = jnp.maximum(f[_YMIN][None] - p_y, p_y - f[_YMAX][None])
+                d_line = jnp.maximum(d_line, jnp.maximum(dbx, dby))
+                d2 = jnp.maximum(d_line, 0.0) ** 2
+            else:
+                def seg_d2(qx, qy, rx, ry):
+                    ex = rx - qx
+                    ey = ry - qy
+                    t = ((p_x - qx) * ex + (p_y - qy) * ey) / (
+                        ex * ex + ey * ey + 1e-12)
+                    t = jnp.clip(t, 0.0, 1.0)
+                    dx = p_x - qx - t * ex
+                    dy = p_y - qy - t * ey
+                    return dx * dx + dy * dy
+
+                d2 = jnp.minimum(jnp.minimum(seg_d2(ax, ay, bx, by),
+                                             seg_d2(bx, by, cx, cy)),
+                                 seg_d2(cx, cy, ax, ay))
+            d2 = jnp.where(inside, 0.0, d2)
+            p_soft = jnp.where(alive[None],
+                               _P_CLAMP * jnp.exp(-d2 * sigmainv), 0.0)
+            sumlog = sumlog + jnp.sum(jnp.log1p(-p_soft), axis=1,
+                                      keepdims=True)
+            return (best_z, best_idx, sumlog, bu, bv, bnx, bny, bnz)
+
+        zeros = jnp.zeros((tp, 1), jnp.float32)
+        init = (jnp.full((tp, 1), -jnp.inf, jnp.float32),
+                jnp.full((tp, 1), jnp.inf, jnp.float32), zeros,
+                zeros, zeros, zeros, zeros, zeros)
+        best_z, best_idx, sumlog, bu, bv, bnx, bny, bnz = jax.lax.fori_loop(
+            0, static_chunks, body, init)
+        covered = best_z > -jnp.inf
+        sl = pl.ds(b * tp, tp)
+        idx_f = jnp.where(covered, best_idx, -1.0)
+        # Mosaic can't concat/store 1-lane strips; select columns of a
+        # (tp, 8) block against a lane iota instead (pure vector ops)
+        col = jax.lax.broadcasted_iota(jnp.int32, (tp, 8), 1)
+        packed = jnp.zeros((tp, 8), jnp.float32)
+        for i, val in enumerate([idx_f, sumlog, bu, bv, bnx, bny, bnz]):
+            packed = jnp.where(col == i, val, packed)
+        out_ref[sl, :] = packed
+        return 0
+
+    jax.lax.fori_loop(0, n_bands, band_body, 0)
+
+
+def _fused_impl(fvi, fz, fnz, face_uvs, face_normals, sigmainv, height,
+                width, band_rows, chunk, interpret, soft_mode):
+    P = height * width
+    n_bands = height // band_rows
+    F = fvi.shape[0]
+    F_padded = F + ((-F) % chunk)
+    capacity = _band_capacity(F_padded, n_bands, chunk)
+    extra = jnp.stack([
+        face_uvs[:, 0, 0], face_uvs[:, 1, 0], face_uvs[:, 2, 0],
+        face_uvs[:, 0, 1], face_uvs[:, 1, 1], face_uvs[:, 2, 1],
+        face_normals[:, 0], face_normals[:, 1], face_normals[:, 2]], axis=0)
+    banded, counts = _bin_faces(fvi, fz, fnz, n_bands, chunk, _SOFT_MARGIN,
+                                capacity=capacity, extra_rows=extra)
+    K = banded.shape[2]
+    kernel = functools.partial(
+        _image_kernel_fused, chunk=chunk, sigmainv=sigmainv, n_bands=n_bands,
+        band_rows=band_rows, height=height, width=width,
+        static_chunks=K // chunk, soft_mode=soft_mode)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((n_bands, _FUSED_ROWS, K), lambda g, c_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((P, 8), lambda g, c_: (0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((P, 8), jnp.float32),
+        interpret=interpret,
+    )(counts, banded)
+    idx = out[:, 0].astype(jnp.int32)
+    return (idx, out[:, 1], out[:, 2], out[:, 3], out[:, 4], out[:, 5],
+            out[:, 6])
+
+
+def rasterize_standard_pallas(fvi, fz, fnz, face_uvs, face_normals,
+                              sigmainv=7000.0, height=256, width=256,
+                              band_rows=None, chunk=128,
+                              interpret=None, soft_mode="line"):
+    """Fused standard rasterization for ONE mesh: returns
+    (face_idx (P,), soft (P,), uv (P,2), normal (P,3), hard (P,)).
+
+    Forward is one Pallas kernel (phase-1 + winner attribute selection);
+    backward routes attribute cotangents through the differentiable XLA
+    phase-2 recompute at the saved winner indices, and the soft cotangent
+    through the scan implementation — same gradient semantics as the
+    two-phase path.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if band_rows is None:
+        band_rows = max(1, 1024 // width)
+        while band_rows > 1 and height % band_rows:
+            band_rows //= 2
+    return _fused_vjp(fvi, fz, fnz, face_uvs, face_normals,
+                      float(sigmainv), int(height), int(width),
+                      int(band_rows), int(chunk), bool(interpret), soft_mode)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+def _fused_vjp(fvi, fz, fnz, face_uvs, face_normals, sigmainv, height, width,
+               band_rows, chunk, interpret, soft_mode):
+    idx, sumlog, u, v, nx, ny, nz = _fused_impl(
+        fvi, fz, fnz, face_uvs, face_normals, sigmainv, height, width,
+        band_rows, chunk, interpret, soft_mode)
+    soft = 1.0 - jnp.exp(sumlog)
+    uv = jnp.stack([u, v], axis=-1)
+    normal = jnp.stack([nx, ny, nz], axis=-1)
+    hard = (idx >= 0).astype(jnp.float32)
+    return idx, soft, uv, normal, hard
+
+
+def _fused_fwd(fvi, fz, fnz, face_uvs, face_normals, sigmainv, height, width,
+               band_rows, chunk, interpret, soft_mode):
+    out = _fused_vjp(fvi, fz, fnz, face_uvs, face_normals, sigmainv, height,
+                     width, band_rows, chunk, interpret, soft_mode)
+    idx, soft = out[0], out[1]
+    return out, (fvi, fz, fnz, face_uvs, face_normals, idx, soft)
+
+
+def _fused_bwd(sigmainv, height, width, band_rows, chunk, interpret,
+               soft_mode, res, cots):
+    from ..rasterize import _interpolate_selected, pixel_grid
+
+    fvi, fz, fnz, face_uvs, face_normals, idx, soft = res
+    _, g_soft, g_uv, g_normal, _ = cots
+    px, py = pixel_grid(height, width)
+
+    # attribute cotangents through the differentiable phase-2 recompute
+    def attrs(fvi_, uvs_, normals_):
+        F = fvi_.shape[0]
+        feats = jnp.concatenate(
+            [uvs_, jnp.broadcast_to(normals_[:, None, :], (F, 3, 3))], axis=-1)
+        out, _ = _interpolate_selected(px, py, idx, fvi_, fz, feats)
+        return out[:, :2], out[:, 2:5]
+
+    _, vjp_attrs = jax.vjp(attrs, fvi, face_uvs, face_normals)
+    g_fvi_a, g_uvs, g_normals = vjp_attrs((g_uv, g_normal))
+
+    # soft cotangent through the scan implementation:
+    # soft = 1 - exp(sumlog) ⇒ d soft / d sumlog = soft - 1
+    g_sumlog = g_soft * (soft - 1.0)
+    _, vjp_soft = jax.vjp(
+        lambda v: _sumlog_xla(px, py, v, fz, fnz, sigmainv, soft_mode), fvi)
+    (g_fvi_s,) = vjp_soft(g_sumlog)
+
+    return (g_fvi_a + g_fvi_s, jnp.zeros_like(fz), jnp.zeros_like(fnz),
+            g_uvs, g_normals)
+
+
+_fused_vjp.defvjp(_fused_fwd, _fused_bwd)

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -112,21 +113,53 @@ class DiffRender:
             vertices, self.faces, self.cam_proj, cam_transform)
 
         num_faces = self.num_faces
-        face_normals_unit = face_normals[:, :, None, :].repeat(3, axis=2)
-        face_attributes = [
-            jnp.ones((batch_size, num_faces, 3, 1), dtype=jnp.float32),
-            jnp.broadcast_to(self.face_uvs[None], (batch_size, num_faces, 3, 2)),
-            face_normals_unit,
-        ]
+        H, W = self.render_height, self.render_width
+        import os
 
-        image_features, soft_mask, face_idx = dibr_rasterization(
-            self.render_height, self.render_width,
-            face_vertices_camera[:, :, :, 2], face_vertices_image,
-            face_attributes, face_normals[:, :, 2],
-            sigmainv=self.sigmainv, backend=self.backend,
-            soft_mode=self.soft_mode)
+        fused = os.environ.get("MAGICMIRROR_FUSED", "0").lower() not in (
+            "0", "", "false", "off")
+        if self.backend == "pallas" and fused:
+            # experimental fused path: the winner's uv/normal are selected
+            # inside the kernel (no separate phase-2 gather pass); gradients
+            # route through the differentiable recompute in its custom VJP.
+            # Measured SLOWER than two-phase on v5e (560 vs 656 fps at 256²):
+            # the 5 extra masked reductions per face chunk cost more than the
+            # O(pixels) phase-2 they replace — kept for future kernels where
+            # attrs come nearly free (e.g. a winner-barycentric layout).
+            from ..ops.pallas.rasterize_tpu import rasterize_standard_pallas
 
-        texmask, texcoord, imnormal = image_features
+            def per_image(args):
+                fvi, fz, fnz, fn1 = args
+                return rasterize_standard_pallas(
+                    fvi, fz, fnz, self.face_uvs, fn1,
+                    sigmainv=self.sigmainv, height=H, width=W,
+                    soft_mode=self.soft_mode)
+
+            face_idx, soft_mask, uv, normal, hard = jax.lax.map(
+                per_image,
+                (face_vertices_image, face_vertices_camera[:, :, :, 2],
+                 face_normals[:, :, 2], face_normals))
+            texmask = hard.reshape(batch_size, H, W, 1)
+            texcoord = uv.reshape(batch_size, H, W, 2)
+            imnormal = normal.reshape(batch_size, H, W, 3)
+            soft_mask = soft_mask.reshape(batch_size, H, W)
+            face_idx = face_idx.reshape(batch_size, H, W)
+        else:
+            face_normals_unit = face_normals[:, :, None, :].repeat(3, axis=2)
+            face_attributes = [
+                jnp.ones((batch_size, num_faces, 3, 1), dtype=jnp.float32),
+                jnp.broadcast_to(self.face_uvs[None],
+                                 (batch_size, num_faces, 3, 2)),
+                face_normals_unit,
+            ]
+
+            image_features, soft_mask, face_idx = dibr_rasterization(
+                H, W, face_vertices_camera[:, :, :, 2], face_vertices_image,
+                face_attributes, face_normals[:, :, 2],
+                sigmainv=self.sigmainv, backend=self.backend,
+                soft_mode=self.soft_mode)
+
+            texmask, texcoord, imnormal = image_features
 
         texcolor = texture_mapping(texcoord, textures, mode="bilinear")
         coef = spherical_harmonic_lighting(imnormal, lights)

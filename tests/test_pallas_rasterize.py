@@ -117,3 +117,47 @@ def test_banded_kernel_soft_modes(soft_mode, rng):
     np.testing.assert_array_equal(np.asarray(idx_b), np.asarray(idx_ref))
     np.testing.assert_allclose(np.asarray(sum_b), np.asarray(sum_ref),
                                atol=5e-4, rtol=1e-4)
+
+
+def test_fused_standard_matches_two_phase(rng):
+    """Fused kernel (winner uv/normal selected in-kernel) vs the two-phase
+    path: identical outputs + working gradients."""
+    from magicmirror.render.renderer import DiffRender
+    import os
+
+    tmpl = os.path.join(os.path.dirname(__file__), "..", "template",
+                        "sphere.obj")
+    dr_fused = DiffRender(tmpl, 32, backend="pallas", soft_mode="line")
+    dr_ref = DiffRender(tmpl, 32, backend="xla", soft_mode="line")
+    V = dr_fused.num_vertices
+    B = 2
+    att = {
+        "azimuths": jnp.asarray(rng.uniform(-180, 180, B).astype(np.float32)),
+        "elevations": jnp.asarray(rng.uniform(0, 30, B).astype(np.float32)),
+        "distances": jnp.full((B,), 2.5, jnp.float32),
+        "biases": jnp.zeros((B, 2), jnp.float32),
+        "vertices": jnp.broadcast_to(dr_fused.vertices_init[None], (B, V, 3)),
+        "delta_vertices": jnp.zeros((B, V, 3), jnp.float32),
+        "textures": jnp.asarray(rng.rand(B, 64, 32, 3).astype(np.float32)),
+        "lights": jnp.asarray(
+            np.tile([[3.0, 0, 0, 0, 0, 0, 0, 0, 0]], (B, 1)).astype(np.float32)),
+        "bg": None,
+    }
+    rgba_f, att_f = dr_fused.render(**att)
+    rgba_r, att_r = dr_ref.render(**att)
+    np.testing.assert_allclose(np.asarray(rgba_f), np.asarray(rgba_r),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(att_f["imnormal"]),
+                               np.asarray(att_r["imnormal"]), atol=1e-4)
+
+    # gradient parity on a scalar loss
+    def loss(dr, verts):
+        a = dict(att)
+        a["vertices"] = verts
+        rgba, _ = dr.render(**a)
+        return jnp.mean(rgba ** 2)
+
+    g_f = jax.grad(lambda v: loss(dr_fused, v))(att["vertices"])
+    g_r = jax.grad(lambda v: loss(dr_ref, v))(att["vertices"])
+    assert np.isfinite(np.asarray(g_f)).all()
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_r), atol=5e-4)
