@@ -23,6 +23,7 @@ from flax import linen as nn
 from .encoders import (
     BackgroundEncoder,
     CameraEncoder,
+    FeatureEncoder,
     LightEncoder,
     ShapeEncoder,
     TextureEncoder,
@@ -79,6 +80,10 @@ class AttributeEncoder(nn.Module):
     norm: str = "bn"
     nolpl: bool = False
     inv: float = 0.0
+    # landmark consistency (reference networks.py:496-530, trainer.py:104-108;
+    # vestigial there — its inputs are never produced — but functional here)
+    lambda_lc: float = 0.0
+    num_faces: int = 1280
 
     def setup(self):
         if isinstance(self.droprate, str):
@@ -105,6 +110,12 @@ class AttributeEncoder(nn.Module):
         if self.bg:
             self.bg_enc = BackgroundEncoder(nc=self.nc, droprate=dt,
                                             coordconv=self.coordconv)
+        if self.lambda_lc > 0:
+            self.feat_enc = FeatureEncoder(nc=self.nc, norm=self.norm)
+            from .discriminators import LandmarkConsistency
+
+            self.landmark_cls = LandmarkConsistency(
+                num_landmarks=self.num_faces, dim_feat=256)
 
     def __call__(self, input_img, template, lpl, train_shape: int = 0,
                  train: bool = True, precond_M=None):
@@ -132,6 +143,8 @@ class AttributeEncoder(nn.Module):
         vertices = template[None] + delta_vertices
 
         background = self.bg_enc(input_img, train=train) if self.bg else None
+        img_feats = (self.feat_enc(input_img, train=train)
+                     if self.lambda_lc > 0 else None)
 
         # under the bf16 policy the heads emit bf16 — the renderer and losses
         # run fp32 (AMP convention: fp32 master path outside conv compute)
@@ -153,6 +166,13 @@ class AttributeEncoder(nn.Module):
             "delta_vertices": delta_vertices,
             "textures": textures,
             "lights": lights,
-            "img_feats": None,
+            "img_feats": img_feats,
             "bg": background,
         }
+
+    def landmark_loss(self, img_feats, landmark_2d, visible, sample_idx):
+        """Face-identity CE at projected face centers (reference
+        networks.py:510-530); ``landmark_2d`` in grid_sample convention
+        (x right, y down, [-1,1])."""
+        return self.landmark_cls(img_feats, landmark_2d, visible, sample_idx)
+

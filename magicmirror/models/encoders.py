@@ -344,3 +344,23 @@ class TextureEncoder(nn.Module):
 
         textures_flip = textures[:, ::-1, :, :]
         return jnp.concatenate([textures, textures_flip], axis=1)  # (B,2H,W,3)
+
+
+class FeatureEncoder(nn.Module):
+    """Per-pixel feature map for the landmark-consistency head (the reference
+    sketches this as ``feat_enc`` → (B, 256, H/4, W/4), networks.py:631-633,
+    but never instantiates it — ``--lambda_lc`` crashes upstream; here the
+    path is functional).  4-ch RGBA in, (B, H/4, W/4, 256) NHWC out."""
+    nc: int = 4
+    nk: int = 5
+    norm: str = "bn"
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = normalize_batch_4c(x)
+        x = Conv2dBlock(64, self.nk, 2, self.nk // 2, norm=self.norm)(
+            x, train=train)
+        x = Conv2dBlock(128, self.nk, 2, self.nk // 2, norm=self.norm)(
+            x, train=train)
+        x = Conv2dBlock(256, 3, 1, 1, norm=self.norm)(x, train=train)
+        return x

@@ -175,6 +175,13 @@ class DiffRender:
         attributes = dict(attributes)
         attributes["face_normals"] = face_normals
         attributes["imnormal"] = imnormal  # visualize only, not trained
+        # landmark-consistency inputs (the reference sketches these at
+        # networks.py:322 but leaves them commented out — --lambda_lc crashes
+        # there; we emit them so the feature works): per-face projected 2D
+        # center and a front-facing visibility mask
+        attributes["faces_image"] = jnp.mean(face_vertices_image, axis=2)
+        attributes["visiable_faces"] = (
+            face_normals[:, :, 2] > 0).astype(jnp.float32)
         return rgbs, attributes
 
     # ------------------------------------------------------------------ losses

@@ -39,6 +39,18 @@ def create_train_state(rng, netE, netD, opt_e, opt_d, sample_batch, template,
                             train=False)
     params_e = variables_e["params"]
     stats_e = variables_e.get("batch_stats", {})
+    if getattr(netE, "lambda_lc", 0.0) > 0:
+        # the landmark head is only traced via the landmark_loss method, so
+        # its params need a second init merged into the main tree
+        B, H, W = sample_batch.shape[:3]
+        feats = jnp.zeros((B, H // 4, W // 4, 256), jnp.float32)
+        lm = jnp.zeros((B, netE.num_faces, 2), jnp.float32)
+        vis = jnp.ones((B, netE.num_faces), jnp.float32)
+        sidx = jnp.arange(64)
+        v_lc = netE.init({"params": k_e}, feats, lm, vis, sidx,
+                         method="landmark_loss")
+        params_e = {**dict(params_e), **dict(v_lc["params"])}
+        stats_e = {**dict(stats_e), **dict(v_lc.get("batch_stats", {}))}
     dis_nc = netD.nc
     d_in = sample_batch[..., :dis_nc]
     params_d = netD.init(k_d, d_in)["params"]

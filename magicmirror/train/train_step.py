@@ -154,7 +154,7 @@ def make_train_step(opt, diffRender, netE, netD, opt_e, opt_d, lpl,
 
     def e_outputs(params_e, stats_e, Xa, template, rng, train_shape):
         """Everything downstream of the encoder parameters, in one forward."""
-        ks = jax.random.split(rng, 12)
+        ks = jax.random.split(rng, 13)
         B = Xa.shape[0]
 
         Ae, stats1 = apply_e(params_e, stats_e, Xa, template, ks[0], train_shape)
@@ -251,6 +251,25 @@ def make_train_step(opt, diffRender, netE, netD, opt_e, opt_d, lpl,
                                         _random_erase(k_er, Xa), template,
                                         k_en, 0)
             outs["Ae_jitter"] = Ae_jitter
+
+        # landmark consistency (reference trainer.py:497-504; inputs that the
+        # reference never produces — see renderer.render — are live here)
+        if opt.lambda_lc > 0:
+            sidx = jax.random.choice(ks[12], diffRender.num_faces, (64,),
+                                     replace=False)
+            flip_y = jnp.array([1.0, -1.0], jnp.float32)
+
+            def lc(stats, att):
+                loss, mut = netE.apply(
+                    {"params": params_e, "batch_stats": stats},
+                    att["img_feats"], att["faces_image"] * flip_y,
+                    att["visiable_faces"], sidx,
+                    method="landmark_loss", mutable=["batch_stats"])
+                return loss, mut["batch_stats"]
+
+            loss_e, stats2 = lc(stats2, Ae)
+            loss_i, stats2 = lc(stats2, Aire)
+            outs["lossR_LC"] = opt.lambda_lc * (loss_e + loss_i)
         return outs, stats2
 
     def d_loss_fn(params_d, outs, rng, warm_up):
@@ -328,12 +347,14 @@ def make_train_step(opt, diffRender, netE, netD, opt_e, opt_d, lpl,
                      + jnp.mean((Aj["biases"] - Ae["biases"]) ** 2))
             lossR_dis += opt.dis2 * (l_cam + l_shape)
 
+        lossR_LC = outs.get("lossR_LC", 0.0)
         lossR = (lossR_fake + lossR_reg + lossR_flip + lossR_data + lossR_IC
-                 + lossR_dis) * warm_up
+                 + lossR_dis + lossR_LC) * warm_up
         metrics = {
             "lossR": lossR, "lossR_fake": lossR_fake, "lossR_reg": lossR_reg,
             "lossR_flip": lossR_flip, "lossR_data": lossR_data,
             "lossR_IC": lossR_IC, "lossR_dis": jnp.asarray(lossR_dis),
+            "lossR_LC": jnp.asarray(lossR_LC),
         }
         return lossR, metrics
 

@@ -45,7 +45,8 @@ def build_models(opt, diffRender):
         nf=opt.nf, ratio=opt.ratio, makeup=opt.makeup, bg=opt.bg,
         pretraint=opt.pretraint, pretrainc=opt.pretrainc,
         pretrains=opt.pretrains, droprate=opt.droprate,
-        coordconv=opt.coordconv, norm=opt.norm, nolpl=opt.nolpl, inv=opt.inv)
+        coordconv=opt.coordconv, norm=opt.norm, nolpl=opt.nolpl, inv=opt.inv,
+        lambda_lc=opt.lambda_lc, num_faces=diffRender.num_faces)
     dis_nc = 4 if opt.unmask == 2 else 3
     if opt.gan_type == "wgan":
         netD = Discriminator(nc=dis_nc, nf=16)

@@ -101,3 +101,41 @@ def test_swa_update(setup):
     d = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()),
                                s1.swa_params, state.params_e)
     assert max(jax.tree_util.tree_leaves(d)) == 0
+
+
+def test_train_step_landmark_consistency():
+    """--lambda_lc > 0 trains the landmark head end to end (the reference's
+    version crashes: networks.py:322/633 never produce its inputs)."""
+    opt = tiny_opt(lambda_lc=0.1)
+    diffRender = DiffRender(TEMPLATE, opt.imageSize, ratio=opt.ratio,
+                            init_ellipsoid=opt.ellipsoid)
+    netE = AttributeEncoder(
+        num_vertices=diffRender.num_vertices, azi_scope=opt.azi_scope,
+        elev_range=opt.elev_range, dist_range=opt.dist_range,
+        nc=4, nk=opt.nk, nf=opt.nf, ratio=opt.ratio,
+        pretraint="none", pretrainc="none", pretrains="none",
+        droprate=opt.droprate, norm=opt.norm,
+        lambda_lc=opt.lambda_lc, num_faces=diffRender.num_faces)
+    netD = Discriminator(nc=3, nf=16)
+    opt_e, opt_d = make_optimizer_e(), make_optimizer_d()
+    lpl = diffRender.vertices_laplacian_matrix
+    sample = jnp.zeros((opt.batchSize, opt.imageSize, opt.imageSize, 4))
+    state = create_train_state(jax.random.PRNGKey(0), netE, netD, opt_e,
+                               opt_d, sample, diffRender.vertices_init, lpl)
+    assert "landmark_cls" in state.params_e
+    assert "feat_enc" in state.params_e
+    step = make_train_step(opt, diffRender, netE, netD, opt_e, opt_d, lpl,
+                           donate=False)
+    rs = np.random.RandomState(0)
+    imgs = rs.rand(opt.batchSize, opt.imageSize, opt.imageSize, 4).astype(np.float32)
+    imgs[..., 3] = 0.0
+    imgs[:, 8:24, 8:24, 3] = 1.0
+    Xa = jnp.asarray(imgs)
+    new_state, metrics, _, _ = step(state, Xa, jax.random.PRNGKey(1),
+                                    1e-4, 1e-4, 1.0, 0)
+    assert np.isfinite(float(metrics["lossR_LC"]))
+    assert float(metrics["lossR_LC"]) > 0.0
+    # the landmark head's params must receive gradient updates
+    old = jax.tree_util.tree_leaves(state.params_e["landmark_cls"])
+    new = jax.tree_util.tree_leaves(new_state.params_e["landmark_cls"])
+    assert any(not np.allclose(a, b) for a, b in zip(old, new))
