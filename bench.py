@@ -32,14 +32,14 @@ def main():
         except Exception:
             backend = "xla"
 
-    # band capacity 128 is exact (zero dropped faces) for this benchmark's
-    # camera range (distance 2..4 → ≤109 faces/band measured); the framework
-    # default stays at the safe 12x heuristic for arbitrary cameras
-    os.environ.setdefault("MAGICMIRROR_BAND_CAPACITY", "128")
-
-    soft_mode = os.environ.get("BENCH_SOFT_MODE", "line")
+    # NO special settings: the benchmark runs the renderer exactly as the
+    # trainer constructs it (default soft_mode='line', auto band capacity)
+    # so the number measured here is the number training actually gets.
+    kwargs = {}
+    if os.environ.get("BENCH_SOFT_MODE"):
+        kwargs["soft_mode"] = os.environ["BENCH_SOFT_MODE"]
     dr = DiffRender(template, image_size, ratio=1.0, backend=backend,
-                    soft_mode=soft_mode)
+                    **kwargs)
     rng = np.random.RandomState(0)
     V = dr.num_vertices
     att = {

@@ -109,6 +109,17 @@ def build_parser(defaults: dict | None = None) -> argparse.ArgumentParser:
     a("--elev_range", type=str, default="0~30")
     a("--hard_range", type=int, default=0)
     a("--dist_range", type=str, default="2~7")
+    # --- TPU-framework extensions (no reference counterpart) -------------
+    a("--soft_mode", type=str, default="line", choices=["line", "exact"],
+      help="soft-silhouette distance: 'line' (v4 fused Pallas kernel, the "
+           "fast default) or 'exact' (kaolin segment distances)")
+    a("--band_capacity", type=int, default=0,
+      help="static per-band face capacity of the banded rasterizer; 0 = "
+           "auto (3x uniform share).  Overflow is counted per step and "
+           "logged — raise this if dropped_faces > 0")
+    a("--raster_backend", type=str, default="auto",
+      choices=["auto", "pallas", "pallas_v3", "xla"],
+      help="rasterizer backend; auto = pallas on TPU, xla elsewhere")
     if defaults:
         p.set_defaults(**defaults)
     return p

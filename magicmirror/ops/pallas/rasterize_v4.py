@@ -1,0 +1,575 @@
+"""v4 Pallas TPU rasterizer — faces-on-sublanes x pixels-on-lanes.
+
+Replaces kaolin's CUDA ``dibr_rasterization`` phase 1 (reference
+networks.py:297-299) with a layout designed for the VPU's (8, 128) tiles:
+
+  * Every per-(pixel, face) quantity is an *affine function of the pixel
+    coordinate*: signed edge-line distances, the z plane, and the winner's
+    uv come precomputed as (coef_x, coef_y, const) rows per face (XLA does
+    the O(F) precompute).  The kernel is then pure FMA + select on full
+    (8, NPIX) tiles — no cross-lane reductions, no wasted lanes.
+  * Faces stream 8-at-a-time on the SUBLANE axis: an attribute is an (8, 1)
+    column slice broadcast against the (1, NPIX) pixel row.  Each sublane
+    slot keeps its own (best_z, best_id, partial sumlog) carry; one 8-way
+    sublane merge per band at the end replaces the per-chunk argmax that
+    dominated the v1-v3 kernels ((TP, 1) carries wasted 127/128 lanes).
+  * Faces are binned into horizontal bands (capacity-capped, static trip
+    counts — a dynamic bound costs a ~20us pipeline flush); the bin step
+    now REPORTS overflow: ``dropped`` counts (band, face) pairs that fell
+    past the capacity so callers can log/assert instead of silently
+    corrupting images and gradients.
+  * The fused variant selects the winner's uv/normal inside the kernel
+    (the barycentrics are live at z-test time), removing the separate
+    phase-2 gather pass from the serving path entirely.
+  * The backward pass is ALSO a Pallas kernel: the soft-silhouette
+    cotangent is reduced to gradients of the per-face affine coefficients
+    (pixels on sublanes, faces on lanes, moment sums over sublanes), then
+    chained through the XLA coefficient precompute with ``jax.vjp``.  No
+    more recompute-through-the-XLA-scan backward.
+
+Soft mode is 'line' (signed edge-line distance with a bbox floor), matching
+``ops/rasterize.py``'s 'line' golden path; 'exact' (segment distances)
+callers should use the v3 kernel or the XLA path.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# ---------------------------------------------------------------- row layout
+(A0X, A0Y, A0C, A1X, A1Y, A1C, A2X, A2Y, A2C,
+ ZX, ZY, ZC, BXMIN, BXMAX, BYMIN, BYMAX, FID) = range(17)
+R_PLAIN = 17
+(UX, UY, UC, VX, VY, VC, NXR, NYR, NZR) = range(R_PLAIN, R_PLAIN + 9)
+R_FUSED = R_PLAIN + 9
+
+_DEN_EPS = 1e-10
+_P_CLAMP = 1.0 - 1e-7
+_SOFT_MARGIN = 0.035   # p < 2e-4 at sigmainv=7000 beyond this distance
+_BIG_D = 3.0e4         # "infinitely far" line distance for dead faces
+_DEAD_Z = -1.0e30      # z for degenerate-but-front faces (never "covered")
+_Z_FLOOR = -1.0e29     # covered threshold: real z >> this >> _DEAD_Z
+_Z_INIT = -3.0e38
+
+
+def _raw_line_coeffs(fvi):
+    """Affine coefficients of the three signed edge-line distances and the
+    bbox, per face.  d_i(p) = Aix*px + Aiy*py + Aic is the distance of p to
+    edge-line i, positive OUTSIDE (the reference 'line' soft mode,
+    ops/rasterize.py:100-119).  Shared between the forward row packing and
+    the backward jax.vjp chain so the two can never drift."""
+    ax, ay = fvi[:, 0, 0], fvi[:, 0, 1]
+    bx, by = fvi[:, 1, 0], fvi[:, 1, 1]
+    cx, cy = fvi[:, 2, 0], fvi[:, 2, 1]
+    den = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    sgn = jnp.where(den >= 0.0, 1.0, -1.0)
+    # cross0 = (cx-bx)(py-by) - (cy-by)(px-bx): affine in p
+    c0x, c0y = -(cy - by), (cx - bx)
+    c0c = (cy - by) * bx - (cx - bx) * by
+    # cross1 = (ax-cx)(py-cy) - (ay-cy)(px-cx)
+    c1x, c1y = -(ay - cy), (ax - cx)
+    c1c = (ay - cy) * cx - (ax - cx) * cy
+    # cross2 = den - cross0 - cross1
+    c2x, c2y = -c0x - c1x, -c0y - c1y
+    c2c = den - c0c - c1c
+
+    def rl(ux, uy, vx, vy):
+        dx, dy = vx - ux, vy - uy
+        return jax.lax.rsqrt(dx * dx + dy * dy + 1e-12)
+
+    s0 = -sgn * rl(bx, by, cx, cy)   # cross0's edge is b->c
+    s1 = -sgn * rl(cx, cy, ax, ay)   # cross1's edge is c->a
+    s2 = -sgn * rl(ax, ay, bx, by)   # cross2's edge is a->b
+    xs, ys = fvi[:, :, 0], fvi[:, :, 1]
+    coeffs = dict(
+        a0x=s0 * c0x, a0y=s0 * c0y, a0c=s0 * c0c,
+        a1x=s1 * c1x, a1y=s1 * c1y, a1c=s1 * c1c,
+        a2x=s2 * c2x, a2y=s2 * c2y, a2c=s2 * c2c,
+        xmin=xs.min(1), xmax=xs.max(1), ymin=ys.min(1), ymax=ys.max(1),
+    )
+    aux = dict(den=den, c0x=c0x, c0y=c0y, c0c=c0c, c1x=c1x, c1y=c1y, c1c=c1c)
+    return coeffs, aux
+
+
+_COEFF13_KEYS = ("a0x", "a0y", "a0c", "a1x", "a1y", "a1c",
+                 "a2x", "a2y", "a2c", "xmin", "xmax", "ymin", "ymax")
+
+
+def _coeffs13(fvi):
+    """(F, 3, 2) -> (F, 13) line+bbox coefficients, unmasked (the backward
+    chain: cotangents for dead faces are identically zero already)."""
+    c, _ = _raw_line_coeffs(fvi)
+    return jnp.stack([c[k] for k in _COEFF13_KEYS], axis=1)
+
+
+def _affine_interp(aux, v0, v1, v2):
+    """Affine coefficients of w0*v0 + w1*v1 + w2*v2 over the face plane."""
+    den = aux["den"]
+    inv = 1.0 / jnp.where(jnp.abs(den) > _DEN_EPS, den, 1.0)
+    d0, d1 = v0 - v2, v1 - v2
+    gx = (aux["c0x"] * d0 + aux["c1x"] * d1) * inv
+    gy = (aux["c0y"] * d0 + aux["c1y"] * d1) * inv
+    gc = v2 + (aux["c0c"] * d0 + aux["c1c"] * d1) * inv
+    return gx, gy, gc
+
+
+def _face_rows(fvi, fz, fnz, face_uvs=None, face_normals=None):
+    """Pack per-face kernel rows -> (F+1, R) f32; row F is the dead sentinel
+    that padded band slots point at.  Backfacing faces are fully dead (their
+    soft term is masked in the golden path too); degenerate front faces keep
+    their line distances (they still emit soft mass, matching
+    ops/rasterize.py:126) but can never win the z-buffer."""
+    F = fvi.shape[0]
+    c, aux = _raw_line_coeffs(fvi)
+    front = fnz > 0.0
+    nondeg = jnp.abs(aux["den"]) > _DEN_EPS
+    zok = front & nondeg
+
+    def mk(x, dead=0.0):
+        return jnp.where(front, x, dead)
+
+    zx, zy, zc = _affine_interp(aux, fz[:, 0], fz[:, 1], fz[:, 2])
+    rows = [mk(c["a0x"]), mk(c["a0y"]), mk(c["a0c"], _BIG_D),
+            mk(c["a1x"]), mk(c["a1y"]), mk(c["a1c"]),
+            mk(c["a2x"]), mk(c["a2y"]), mk(c["a2c"]),
+            jnp.where(zok, zx, 0.0), jnp.where(zok, zy, 0.0),
+            jnp.where(zok, zc, _DEAD_Z),
+            mk(c["xmin"]), mk(c["xmax"]), mk(c["ymin"]), mk(c["ymax"]),
+            jnp.arange(F, dtype=jnp.float32)]
+    if face_uvs is not None:
+        ux, uy, uc = _affine_interp(aux, face_uvs[:, 0, 0], face_uvs[:, 1, 0],
+                                    face_uvs[:, 2, 0])
+        vx, vy, vc = _affine_interp(aux, face_uvs[:, 0, 1], face_uvs[:, 1, 1],
+                                    face_uvs[:, 2, 1])
+        z0 = jnp.zeros_like(ux)
+        rows += [jnp.where(zok, ux, z0), jnp.where(zok, uy, z0),
+                 jnp.where(zok, uc, z0), jnp.where(zok, vx, z0),
+                 jnp.where(zok, vy, z0), jnp.where(zok, vc, z0),
+                 face_normals[:, 0], face_normals[:, 1], face_normals[:, 2]]
+    packed = jnp.stack(rows, axis=1)  # (F, R)
+    dead = jnp.zeros((1, packed.shape[1]), packed.dtype)
+    dead = dead.at[0, A0C].set(_BIG_D).at[0, ZC].set(_DEAD_Z)
+    dead = dead.at[0, FID].set(-1.0)
+    return jnp.concatenate([packed, dead], axis=0)
+
+
+# ------------------------------------------------------------------- binning
+def _bin_lists(fvi, fnz, n_bands: int, capacity: int):
+    """Horizontal-band face lists -> (lists (NB, K) i32 into rows[F+1],
+    dropped () i32 = #(band, face) pairs past the capacity).  Backfaces are
+    dropped at bin time (no z/soft contribution)."""
+    F = fvi.shape[0]
+    ys = fvi[:, :, 1]
+    ymin = ys.min(1) - _SOFT_MARGIN
+    ymax = ys.max(1) + _SOFT_MARGIN
+    edges = 1.0 - 2.0 * jnp.arange(n_bands + 1, dtype=jnp.float32) / n_bands
+    band_top = edges[:-1][:, None]
+    band_bot = edges[1:][:, None]
+    overlap = ((ymax[None, :] >= band_bot) & (ymin[None, :] <= band_top)
+               & (fnz > 0.0)[None, :])                      # (NB, F)
+    counts = overlap.sum(axis=1).astype(jnp.int32)
+    dropped = jnp.maximum(counts - capacity, 0).sum()
+    # count-and-pad WITHOUT a scatter (XLA TPU scatters are serial — the
+    # scatter formulation cost 4.8 ms at B=32/F=1280): sort each band's face
+    # ids keyed so overlapping faces come first in id order, then clamp the
+    # non-overlapping tail to the dead-sentinel index F.
+    ids = jnp.arange(F, dtype=jnp.int32)[None, :]
+    key = jnp.where(overlap, ids, ids + F)
+    skey = jnp.sort(key, axis=1)[:, :capacity]
+    lists = jnp.where(skey < F, skey, F)
+    return lists, dropped
+
+
+def default_capacity(num_faces: int, n_bands: int) -> int:
+    """Static per-band face capacity: 3x the uniform share (measured worst
+    band density is ~2.7x at the benchmark camera range), rounded to the
+    8-face chunk, min 128.  Env MAGICMIRROR_BAND_CAPACITY overrides."""
+    import os
+
+    env = os.environ.get("MAGICMIRROR_BAND_CAPACITY")
+    if env:
+        cap = int(env)
+    else:
+        cap = max(128, 3 * num_faces // n_bands)
+    cap = -(-cap // 8) * 8
+    return min(cap, num_faces + ((-num_faces) % 8))
+
+
+# ------------------------------------------------------------ forward kernel
+def _fwd_kernel(rows_ref, *out_refs, K, npix, width, height, sigmainv, fused):
+    band = pl.program_id(1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, npix), 1)
+    flat = band * npix + lane
+    row = flat // width
+    col = flat - row * width
+    p_x = col.astype(jnp.float32) * (2.0 / width) + (1.0 / width - 1.0)
+    p_y = row.astype(jnp.float32) * (-2.0 / height) + (1.0 - 1.0 / height)
+
+    def body(i, carry):
+        best_z, best_id, sumlog = carry[0], carry[1], carry[2]
+        base = pl.multiple_of(i * 8, 8)
+        f = rows_ref[0, 0, pl.ds(base, 8), :]          # (8, R)
+
+        def col1(j):
+            return f[:, j:j + 1]                        # (8, 1)
+
+        d0 = col1(A0X) * p_x + col1(A0Y) * p_y + col1(A0C)   # (8, npix)
+        d1 = col1(A1X) * p_x + col1(A1Y) * p_y + col1(A1C)
+        d2 = col1(A2X) * p_x + col1(A2Y) * p_y + col1(A2C)
+        dl = jnp.maximum(jnp.maximum(d0, d1), d2)
+        inside = dl <= 0.0
+        z = col1(ZX) * p_x + col1(ZY) * p_y + col1(ZC)
+        zi = jnp.where(inside, z, _Z_INIT)
+        take = zi > best_z
+        best_z = jnp.where(take, zi, best_z)
+        best_id = jnp.where(take, col1(FID) + jnp.zeros_like(best_id),
+                            best_id)
+        dbx = jnp.maximum(col1(BXMIN) - p_x, p_x - col1(BXMAX))
+        dby = jnp.maximum(col1(BYMIN) - p_y, p_y - col1(BYMAX))
+        dl2 = jnp.maximum(dl, jnp.maximum(dbx, dby))
+        dpos = jnp.maximum(dl2, 0.0)
+        p_soft = _P_CLAMP * jnp.exp(dpos * dpos * (-sigmainv))
+        sumlog = sumlog + jnp.log1p(-p_soft)
+        out = [best_z, best_id, sumlog]
+        if fused:
+            bu, bv, bnx, bny, bnz = carry[3:]
+            u = col1(UX) * p_x + col1(UY) * p_y + col1(UC)
+            v = col1(VX) * p_x + col1(VY) * p_y + col1(VC)
+            out += [jnp.where(take, u, bu), jnp.where(take, v, bv),
+                    jnp.where(take, col1(NXR) + jnp.zeros_like(bnx), bnx),
+                    jnp.where(take, col1(NYR) + jnp.zeros_like(bny), bny),
+                    jnp.where(take, col1(NZR) + jnp.zeros_like(bnz), bnz)]
+        return tuple(out)
+
+    zeros = jnp.zeros((8, npix), jnp.float32)
+    init = [jnp.full((8, npix), _Z_INIT, jnp.float32),
+            jnp.full((8, npix), jnp.inf, jnp.float32), zeros]
+    if fused:
+        init += [zeros, zeros, zeros, zeros, zeros]
+    fin = jax.lax.fori_loop(0, K // 8, body, tuple(init))
+    best_z, best_id, sumlog = fin[0], fin[1], fin[2]
+
+    zmax = jnp.max(best_z, axis=0, keepdims=True)          # (1, npix)
+    covered = zmax > _Z_FLOOR
+    winner = (best_z >= zmax)
+    idsel = jnp.min(jnp.where(winner, best_id, jnp.inf), axis=0,
+                    keepdims=True)
+    idx = jnp.where(covered, idsel, -1.0)
+    out_refs[0][0, 0, :, :] = idx.astype(jnp.int32)
+    out_refs[1][0, 0, :, :] = jnp.sum(sumlog, axis=0, keepdims=True)
+    if fused:
+        sel = winner & (best_id == idsel) & covered
+        for k, battr in enumerate(fin[3:]):
+            val = jnp.sum(jnp.where(sel, battr, 0.0), axis=0, keepdims=True)
+            out_refs[2 + k][0, 0, :, :] = val
+
+
+def _fwd_call(rows_banded, *, K, n_bands, npix, width, height, sigmainv,
+              fused, interpret):
+    B = rows_banded.shape[0]
+    R = rows_banded.shape[-1]
+    n_out = 7 if fused else 2
+    out_shape = [jax.ShapeDtypeStruct((B, n_bands, 1, npix), jnp.int32)] + [
+        jax.ShapeDtypeStruct((B, n_bands, 1, npix), jnp.float32)
+        for _ in range(n_out - 1)]
+    kernel = functools.partial(_fwd_kernel, K=K, npix=npix, width=width,
+                               height=height, sigmainv=sigmainv, fused=fused)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B, n_bands),
+        in_specs=[pl.BlockSpec((1, 1, K, R), lambda b, n: (b, n, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((1, 1, 1, npix), lambda b, n: (b, n, 0, 0),
+                                memory_space=pltpu.VMEM)] * n_out,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(rows_banded)
+    P = n_bands * npix
+    return [o.reshape(B, P) for o in outs]
+
+
+# ----------------------------------------------------------- backward kernel
+_BWD_TPS = 64  # pixels per sub-tile (sublane axis)
+
+
+def _bwd_kernel(rowsT_ref, g_ref, out_ref, *, K, npix, width, height,
+                sigmainv):
+    band = pl.program_id(1)
+
+    def rowv(j):
+        return rowsT_ref[0, 0, j:j + 1, :]                 # (1, K)
+
+    a0x, a0y, a0c = rowv(A0X), rowv(A0Y), rowv(A0C)
+    a1x, a1y, a1c = rowv(A1X), rowv(A1Y), rowv(A1C)
+    a2x, a2y, a2c = rowv(A2X), rowv(A2Y), rowv(A2C)
+    xmin, xmax = rowv(BXMIN), rowv(BXMAX)
+    ymin, ymax = rowv(BYMIN), rowv(BYMAX)
+
+    def sub(s, acc):
+        r = jax.lax.broadcasted_iota(jnp.int32, (_BWD_TPS, 1), 0)
+        flat = band * npix + s * _BWD_TPS + r
+        row = flat // width
+        col = flat - row * width
+        p_x = col.astype(jnp.float32) * (2.0 / width) + (1.0 / width - 1.0)
+        p_y = row.astype(jnp.float32) * (-2.0 / height) + (1.0 - 1.0 / height)
+        g = g_ref[0, 0, pl.ds(s * _BWD_TPS, _BWD_TPS), :]  # (TPS, 1)
+
+        d0 = a0x * p_x + a0y * p_y + a0c                   # (TPS, K)
+        d1 = a1x * p_x + a1y * p_y + a1c
+        d2 = a2x * p_x + a2y * p_y + a2c
+        dl = jnp.maximum(jnp.maximum(d0, d1), d2)
+        dbx = jnp.maximum(xmin - p_x, p_x - xmax)
+        dby = jnp.maximum(ymin - p_y, p_y - ymax)
+        dl2 = jnp.maximum(dl, jnp.maximum(dbx, dby))
+        dpos = jnp.maximum(dl2, 0.0)
+        p_soft = _P_CLAMP * jnp.exp(dpos * dpos * (-sigmainv))
+        # d sumlog/d dpos = -p/(1-p) * (-2*s*dpos) -> chain with g
+        gl = g * (2.0 * sigmainv) * dpos * (p_soft / (1.0 - p_soft))
+
+        mline = (dl >= dbx) & (dl >= dby)
+        m0 = (d0 >= d1) & (d0 >= d2)
+        m1 = jnp.logical_not(m0) & (d1 >= d2)
+        m2 = jnp.logical_not(m0) & jnp.logical_not(m1)
+        w0 = jnp.where(mline & m0, gl, 0.0)
+        w1 = jnp.where(mline & m1, gl, 0.0)
+        w2 = jnp.where(mline & m2, gl, 0.0)
+        mb = jnp.logical_not(mline)
+        mbx = mb & (dbx >= dby)
+        mby = mb & jnp.logical_not(mbx)
+        wxmin = jnp.where(mbx & ((xmin - p_x) >= (p_x - xmax)), gl, 0.0)
+        wxmax = jnp.where(mbx & ((xmin - p_x) < (p_x - xmax)), -gl, 0.0)
+        wymin = jnp.where(mby & ((ymin - p_y) >= (p_y - ymax)), gl, 0.0)
+        wymax = jnp.where(mby & ((ymin - p_y) < (p_y - ymax)), -gl, 0.0)
+
+        def mom(w):
+            return (jnp.sum(w * p_x, axis=0, keepdims=True),
+                    jnp.sum(w * p_y, axis=0, keepdims=True),
+                    jnp.sum(w, axis=0, keepdims=True))
+
+        terms = mom(w0) + mom(w1) + mom(w2) + (
+            jnp.sum(wxmin, axis=0, keepdims=True),
+            jnp.sum(wxmax, axis=0, keepdims=True),
+            jnp.sum(wymin, axis=0, keepdims=True),
+            jnp.sum(wymax, axis=0, keepdims=True))
+        return tuple(a + t for a, t in zip(acc, terms))
+
+    init = tuple(jnp.zeros((1, K), jnp.float32) for _ in range(13))
+    acc = jax.lax.fori_loop(0, npix // _BWD_TPS, sub, init)
+    for j in range(13):
+        out_ref[0, 0, j:j + 1, :] = acc[j]
+    out_ref[0, 0, 13:16, :] = jnp.zeros((3, K), jnp.float32)
+
+
+def _bwd_call(rowsT, g_banded, *, K, n_bands, npix, width, height, sigmainv,
+              interpret):
+    B = rowsT.shape[0]
+    R = rowsT.shape[2]
+    kernel = functools.partial(_bwd_kernel, K=K, npix=npix, width=width,
+                               height=height, sigmainv=sigmainv)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, n_bands),
+        in_specs=[
+            pl.BlockSpec((1, 1, R, K), lambda b, n: (b, n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, npix, 1), lambda b, n: (b, n, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 16, K), lambda b, n: (b, n, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n_bands, 16, K), jnp.float32),
+        interpret=interpret,
+    )(rowsT, g_banded)
+
+
+def _soft_backward(fvi, fz, fnz, g_sumlog, *, sigmainv, height, width,
+                   band_rows, capacity, interpret):
+    """g_sumlog (B, P) -> g_fvi (B, F, 3, 2) via the Pallas moment kernel +
+    jax.vjp through the XLA coefficient precompute."""
+    B, F = fvi.shape[0], fvi.shape[1]
+    n_bands = height // band_rows
+    npix = band_rows * width
+    rows = jax.vmap(_face_rows)(fvi, fz, fnz)              # (B, F+1, R_PLAIN)
+    lists, _ = jax.vmap(
+        lambda v, n: _bin_lists(v, n, n_bands, capacity))(fvi, fnz)
+    banded = jax.vmap(lambda r, l: r[l])(rows, lists)      # (B, NB, K, R)
+    rowsT = jnp.transpose(banded, (0, 1, 3, 2))            # (B, NB, R, K)
+    g_banded = g_sumlog.reshape(B, n_bands, npix, 1)
+    G = _bwd_call(rowsT, g_banded, K=capacity, n_bands=n_bands, npix=npix,
+                  width=width, height=height, sigmainv=sigmainv,
+                  interpret=interpret)                     # (B, NB, 16, K)
+
+    def per_image(G_i, lists_i, fvi_i):
+        vals = jnp.transpose(G_i[:, :13, :], (0, 2, 1)).reshape(-1, 13)
+        ids = lists_i.reshape(-1)
+        g13 = jnp.zeros((F + 1, 13), jnp.float32).at[ids].add(vals)[:F]
+        _, vjp = jax.vjp(_coeffs13, fvi_i)
+        return vjp(g13)[0]
+
+    return jax.vmap(per_image)(G, lists, fvi)
+
+
+# ------------------------------------------------------------- public: plain
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _plain(fvi, fz, fnz, sigmainv, height, width, band_rows, capacity,
+           interpret):
+    n_bands = height // band_rows
+    npix = band_rows * width
+    rows = jax.vmap(_face_rows)(fvi, fz, fnz)
+    lists, dropped = jax.vmap(
+        lambda v, n: _bin_lists(v, n, n_bands, capacity))(fvi, fnz)
+    banded = jax.vmap(lambda r, l: r[l])(rows, lists)
+    idx, sumlog = _fwd_call(banded, K=capacity, n_bands=n_bands, npix=npix,
+                            width=width, height=height, sigmainv=sigmainv,
+                            fused=False, interpret=interpret)
+    return idx, sumlog, dropped
+
+
+def _plain_fwd(fvi, fz, fnz, sigmainv, height, width, band_rows, capacity,
+               interpret):
+    out = _plain(fvi, fz, fnz, sigmainv, height, width, band_rows, capacity,
+                 interpret)
+    return out, (fvi, fz, fnz)
+
+
+def _plain_bwd(sigmainv, height, width, band_rows, capacity, interpret, res,
+               cots):
+    fvi, fz, fnz = res
+    _, g_sumlog, _ = cots
+    g_fvi = _soft_backward(fvi, fz, fnz, g_sumlog, sigmainv=sigmainv,
+                           height=height, width=width, band_rows=band_rows,
+                           capacity=capacity, interpret=interpret)
+    return g_fvi, jnp.zeros_like(fz), jnp.zeros_like(fnz)
+
+
+_plain.defvjp(_plain_fwd, _plain_bwd)
+
+
+def _auto_band_rows(height, width):
+    br = max(1, 2048 // width)
+    while br > 1 and height % br:
+        br //= 2
+    return br
+
+
+def rasterize_plain_v4(fvi, fz, fnz, sigmainv=7000.0, height=256, width=256,
+                       band_rows=None, capacity=None, interpret=None):
+    """Batched phase-1 rasterization (v4 kernel).
+
+    fvi (B, F, 3, 2) NDC xy; fz (B, F, 3) camera z; fnz (B, F) normal z.
+    Returns (best_idx (B, P) i32 with -1 = background, sumlog (B, P),
+    dropped (B,) i32 = capacity-overflow pair count — 0 means exact).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    height, width = int(height), int(width)
+    if band_rows is None:
+        band_rows = _auto_band_rows(height, width)
+    n_bands = height // band_rows
+    if capacity is None:
+        capacity = default_capacity(fvi.shape[1], n_bands)
+    assert height % band_rows == 0 and (band_rows * width) % 128 == 0, (
+        "v4 kernel needs H %% band_rows == 0 and band_rows*W %% 128 == 0")
+    return _plain(fvi, fz, fnz, float(sigmainv), height, width,
+                  int(band_rows), int(capacity), bool(interpret))
+
+
+# ------------------------------------------------------------- public: fused
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _fused(fvi, fz, fnz, face_uvs, face_normals, sigmainv, height, width,
+           band_rows, capacity, interpret):
+    n_bands = height // band_rows
+    npix = band_rows * width
+    rows = jax.vmap(
+        lambda v, z, n, fn: _face_rows(v, z, n, face_uvs, fn))(
+        fvi, fz, fnz, face_normals)
+    lists, dropped = jax.vmap(
+        lambda v, n: _bin_lists(v, n, n_bands, capacity))(fvi, fnz)
+    banded = jax.vmap(lambda r, l: r[l])(rows, lists)
+    idx, sumlog, u, v, nx, ny, nz = _fwd_call(
+        banded, K=capacity, n_bands=n_bands, npix=npix, width=width,
+        height=height, sigmainv=sigmainv, fused=True, interpret=interpret)
+    soft = 1.0 - jnp.exp(sumlog)
+    uv = jnp.stack([u, v], axis=-1)
+    normal = jnp.stack([nx, ny, nz], axis=-1)
+    hard = (idx >= 0).astype(jnp.float32)
+    return idx, soft, uv, normal, hard, dropped
+
+
+def _fused_fwd(fvi, fz, fnz, face_uvs, face_normals, sigmainv, height, width,
+               band_rows, capacity, interpret):
+    out = _fused(fvi, fz, fnz, face_uvs, face_normals, sigmainv, height,
+                 width, band_rows, capacity, interpret)
+    idx, soft = out[0], out[1]
+    return out, (fvi, fz, fnz, face_uvs, face_normals, idx, soft)
+
+
+def _fused_bwd(sigmainv, height, width, band_rows, capacity, interpret, res,
+               cots):
+    from ..rasterize import _interpolate_selected, pixel_grid
+
+    fvi, fz, fnz, face_uvs, face_normals, idx, soft = res
+    _, g_soft, g_uv, g_normal, _, _ = cots
+    px, py = pixel_grid(height, width)
+
+    # attribute cotangents: differentiable phase-2 recompute at the saved
+    # winner (the DIB-R analytic backward as autodiff on an O(P) gather)
+    def attrs(fvi_b, uvs, normals_b):
+        F = uvs.shape[0]
+
+        def one(fvi_i, idx_i, normals_i):
+            feats = jnp.concatenate(
+                [jnp.broadcast_to(uvs, (F, 3, 2)),
+                 jnp.broadcast_to(normals_i[:, None, :], (F, 3, 3))], axis=-1)
+            out, _ = _interpolate_selected(px, py, idx_i, fvi_i,
+                                           jnp.zeros((F, 3)), feats)
+            return out[:, :2], out[:, 2:5]
+
+        return jax.vmap(one)(fvi_b, idx, normals_b)
+
+    _, vjp_attrs = jax.vjp(attrs, fvi, face_uvs, face_normals)
+    g_fvi_a, g_uvs, g_normals = vjp_attrs((g_uv, g_normal))
+
+    # soft cotangent: soft = 1 - exp(sumlog) => d soft/d sumlog = soft - 1
+    g_sumlog = g_soft * (soft - 1.0)
+    g_fvi_s = _soft_backward(fvi, fz, fnz, g_sumlog, sigmainv=sigmainv,
+                             height=height, width=width, band_rows=band_rows,
+                             capacity=capacity, interpret=interpret)
+    return (g_fvi_a + g_fvi_s, jnp.zeros_like(fz), jnp.zeros_like(fnz),
+            g_uvs, g_normals)
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def rasterize_fused_v4(fvi, fz, fnz, face_uvs, face_normals, sigmainv=7000.0,
+                       height=256, width=256, band_rows=None, capacity=None,
+                       interpret=None):
+    """Batched fused rasterization: phase 1 + winner uv/normal selection in
+    ONE kernel (no phase-2 gather pass on the forward path).
+
+    fvi (B, F, 3, 2); fz (B, F, 3); fnz (B, F); face_uvs (F, 3, 2) shared;
+    face_normals (B, F, 3).
+    Returns (idx (B,P) i32, soft (B,P), uv (B,P,2), normal (B,P,3),
+    hard (B,P), dropped (B,) i32).
+
+    Gradients: uv/normal cotangents route through the differentiable XLA
+    phase-2 recompute; the soft cotangent through the Pallas backward kernel.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    height, width = int(height), int(width)
+    if band_rows is None:
+        band_rows = _auto_band_rows(height, width)
+    n_bands = height // band_rows
+    if capacity is None:
+        capacity = default_capacity(fvi.shape[1], n_bands)
+    assert height % band_rows == 0 and (band_rows * width) % 128 == 0, (
+        "v4 kernel needs H %% band_rows == 0 and band_rows*W %% 128 == 0")
+    return _fused(fvi, fz, fnz, face_uvs, face_normals, float(sigmainv),
+                  height, width, int(band_rows), int(capacity),
+                  bool(interpret))

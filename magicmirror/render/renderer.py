@@ -39,14 +39,22 @@ class DiffRender:
                  init_ellipsoid: float = 1.0, image_weight: float = 0.1,
                  lambda_lpl: float = 0.1, lambda_flat: float = 0.001,
                  sigmainv: float = 7000.0, backend: str = "auto",
-                 soft_mode: str = "exact"):
+                 soft_mode: str = "line", band_capacity: int | None = None):
         if backend == "auto":
             import jax
 
             backend = "pallas" if jax.default_backend() == "tpu" else "xla"
         # 'exact' = kaolin segment-distance silhouette; 'line' trades corner
-        # exactness for ~40% fewer rasterizer ops (see ops/rasterize.py)
+        # exactness for ~40% fewer rasterizer ops (see ops/rasterize.py);
+        # 'line' is the default and the only mode of the v4 fused kernel
+        # (the 'exact'/'line' difference is confined to corner Voronoi
+        # regions and is invisible at sigmainv=7000)
         self.soft_mode = soft_mode
+        # static per-band face capacity of the banded Pallas kernels; None =
+        # auto (3x the uniform share).  Overflow is REPORTED per image in
+        # attributes['dropped_faces'] — assert/log it rather than trusting
+        # silently capped bins
+        self.band_capacity = band_capacity
         self.image_size = int(image_size)
         self.ratio = ratio
         self.render_height = round(ratio * image_size)
@@ -114,31 +122,28 @@ class DiffRender:
 
         num_faces = self.num_faces
         H, W = self.render_height, self.render_width
-        import os
 
-        fused = os.environ.get("MAGICMIRROR_FUSED", "0").lower() not in (
-            "0", "", "false", "off")
-        if self.backend == "pallas" and fused:
-            # experimental fused path: the winner's uv/normal are selected
-            # inside the kernel (no separate phase-2 gather pass); gradients
-            # route through the differentiable recompute in its custom VJP.
-            # Measured SLOWER than two-phase on v5e (560 vs 656 fps at 256²):
-            # the 5 extra masked reductions per face chunk cost more than the
-            # O(pixels) phase-2 they replace — kept for future kernels where
-            # attrs come nearly free (e.g. a winner-barycentric layout).
-            from ..ops.pallas.rasterize_tpu import rasterize_standard_pallas
+        dropped = None
+        use_v4 = False
+        if self.backend == "pallas" and self.soft_mode == "line":
+            from ..ops.pallas.rasterize_v4 import _auto_band_rows
 
-            def per_image(args):
-                fvi, fz, fnz, fn1 = args
-                return rasterize_standard_pallas(
-                    fvi, fz, fnz, self.face_uvs, fn1,
+            br = _auto_band_rows(H, W)
+            use_v4 = H % br == 0 and (br * W) % 128 == 0
+        if use_v4:
+            # v4 fused kernel: phase 1 + winner uv/normal selection in ONE
+            # Pallas launch, batched natively (no per-image map, no phase-2
+            # gather pass).  Gradients: attrs via the differentiable phase-2
+            # recompute, soft via the Pallas backward kernel (custom VJP in
+            # ops/pallas/rasterize_v4.py).
+            from ..ops.pallas.rasterize_v4 import rasterize_fused_v4
+
+            face_idx, soft_mask, uv, normal, hard, dropped = (
+                rasterize_fused_v4(
+                    face_vertices_image, face_vertices_camera[:, :, :, 2],
+                    face_normals[:, :, 2], self.face_uvs, face_normals,
                     sigmainv=self.sigmainv, height=H, width=W,
-                    soft_mode=self.soft_mode)
-
-            face_idx, soft_mask, uv, normal, hard = jax.lax.map(
-                per_image,
-                (face_vertices_image, face_vertices_camera[:, :, :, 2],
-                 face_normals[:, :, 2], face_normals))
+                    capacity=self.band_capacity))
             texmask = hard.reshape(batch_size, H, W, 1)
             texcoord = uv.reshape(batch_size, H, W, 2)
             imnormal = normal.reshape(batch_size, H, W, 3)
@@ -153,10 +158,12 @@ class DiffRender:
                 face_normals_unit,
             ]
 
+            backend = ("pallas" if self.backend.startswith("pallas")
+                       else self.backend)
             image_features, soft_mask, face_idx = dibr_rasterization(
                 H, W, face_vertices_camera[:, :, :, 2], face_vertices_image,
                 face_attributes, face_normals[:, :, 2],
-                sigmainv=self.sigmainv, backend=self.backend,
+                sigmainv=self.sigmainv, backend=backend,
                 soft_mode=self.soft_mode)
 
             texmask, texcoord, imnormal = image_features
@@ -175,6 +182,10 @@ class DiffRender:
         attributes = dict(attributes)
         attributes["face_normals"] = face_normals
         attributes["imnormal"] = imnormal  # visualize only, not trained
+        if dropped is not None:
+            # capacity-overflow diagnostic of the banded kernel: (B,) int32
+            # count of (band, face) pairs past band_capacity; 0 = exact
+            attributes["dropped_faces"] = dropped
         # landmark-consistency inputs (the reference sketches these at
         # networks.py:322 but leaves them commented out — --lambda_lc crashes
         # there; we emit them so the feature works): per-face projected 2D

@@ -356,6 +356,14 @@ def make_train_step(opt, diffRender, netE, netD, opt_e, opt_d, lpl,
             "lossR_IC": lossR_IC, "lossR_dis": jnp.asarray(lossR_dis),
             "lossR_LC": jnp.asarray(lossR_LC),
         }
+        # rasterizer capacity-overflow diagnostic (v4 banded kernel): total
+        # (band, face) pairs dropped this step across all renders; must stay
+        # 0 — a nonzero count means band_capacity needs raising
+        drops = [jax.lax.stop_gradient(a["dropped_faces"])
+                 for a in (outs["Ae"], outs["Ai"], outs["Aire"])
+                 if isinstance(a, dict) and "dropped_faces" in a]
+        if drops:
+            metrics["dropped_faces"] = sum(jnp.sum(d) for d in drops)
         return lossR, metrics
 
     def train_step(state, Xa, rng, lr_e, lr_d, warm_up, train_shape, Va=None):

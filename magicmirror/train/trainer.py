@@ -184,7 +184,11 @@ def trainer(opt, train_dataloader, test_dataloader, train_noaug_dataloader):
                             init_ellipsoid=opt.ellipsoid,
                             image_weight=opt.image_weight,
                             lambda_lpl=opt.lambda_lpl,
-                            lambda_flat=opt.lambda_flat)
+                            lambda_flat=opt.lambda_flat,
+                            backend=getattr(opt, "raster_backend", "auto"),
+                            soft_mode=getattr(opt, "soft_mode", "line"),
+                            band_capacity=(getattr(opt, "band_capacity", 0)
+                                           or None))
     netE, netD = build_models(opt, diffRender)
     lpl = diffRender.vertices_laplacian_matrix
     precond_M = (jnp.asarray(make_inv_preconditioner(np.asarray(lpl), opt.inv))

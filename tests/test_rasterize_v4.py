@@ -1,0 +1,164 @@
+"""v4 Pallas rasterizer vs the XLA golden path (interpret mode on CPU).
+
+Covers: forward idx/soft parity, fused winner-attribute parity, the Pallas
+backward kernel vs golden autodiff, and the capacity-overflow counter."""
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from magicmirror.geometry import camera as cam
+from magicmirror.geometry import mesh as mesh_ops
+from magicmirror.geometry.obj_io import load_obj
+from magicmirror.ops.rasterize import dibr_rasterization
+from magicmirror.ops.pallas.rasterize_v4 import (
+    rasterize_fused_v4, rasterize_plain_v4)
+
+H = W = 64
+B = 2
+
+
+@pytest.fixture(scope="module")
+def scene():
+    mesh = load_obj("template/sphere.obj", with_materials=True)
+    v = mesh_ops.normalize_template(mesh.vertices, 1.0)
+    faces = mesh.faces.astype(np.int32)
+    rng = np.random.RandomState(0)
+    verts = jnp.asarray(v[None] + rng.uniform(-0.05, 0.05, (B,) + v.shape),
+                        jnp.float32)
+    proj = cam.perspective_projection(math.atan(1.0 / 2.5) * 2, ratio=1.0)
+    cpos = cam.camera_position_from_spherical_angles(
+        jnp.asarray([2.5, 3.5], jnp.float32),
+        jnp.asarray([10.0, 20.0], jnp.float32),
+        jnp.asarray([30.0, -120.0], jnp.float32), degrees=True)
+    tr = cam.generate_transformation_matrix(
+        cpos, jnp.zeros((B, 3), jnp.float32),
+        jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0], jnp.float32), (B, 3)))
+    fvc, fvi, fn = cam.prepare_vertices(verts, jnp.asarray(faces), proj, tr)
+    face_uvs = jnp.asarray(mesh.uvs[mesh.face_uvs_idx])
+    return dict(fvi=fvi, fz=fvc[:, :, :, 2], fnz=fn[:, :, 2], fn=fn,
+                face_uvs=face_uvs, F=faces.shape[0])
+
+
+def test_plain_forward_matches_golden(scene):
+    fvi, fz, fnz, F = scene["fvi"], scene["fz"], scene["fnz"], scene["F"]
+    attrs = [jnp.ones((B, F, 3, 1), jnp.float32)]
+    _, soft_g, idx_g = dibr_rasterization(H, W, fz, fvi, attrs, fnz,
+                                          soft_mode="line")
+    idx, sumlog, dropped = rasterize_plain_v4(fvi, fz, fnz, height=H, width=W)
+    assert np.all(np.asarray(dropped) == 0)
+    assert np.array_equal(np.asarray(idx.reshape(B, H, W)), np.asarray(idx_g))
+    soft = (1.0 - jnp.exp(sumlog)).reshape(B, H, W)
+    np.testing.assert_allclose(np.asarray(soft), np.asarray(soft_g),
+                               atol=3e-4)
+
+
+def test_fused_attrs_match_golden(scene):
+    fvi, fz, fnz = scene["fvi"], scene["fz"], scene["fnz"]
+    fn, face_uvs, F = scene["fn"], scene["face_uvs"], scene["F"]
+    attrs = [jnp.ones((B, F, 3, 1), jnp.float32),
+             jnp.broadcast_to(face_uvs[None], (B, F, 3, 2)),
+             fn[:, :, None, :].repeat(3, axis=2)]
+    feats, soft_g, idx_g = dibr_rasterization(H, W, fz, fvi, attrs, fnz,
+                                              soft_mode="line")
+    idx, soft, uv, normal, hard, dropped = rasterize_fused_v4(
+        fvi, fz, fnz, face_uvs, fn, height=H, width=W)
+    assert np.all(np.asarray(dropped) == 0)
+    assert np.array_equal(np.asarray(idx.reshape(B, H, W)),
+                          np.asarray(idx_g))
+    np.testing.assert_allclose(np.asarray(uv.reshape(B, H, W, 2)),
+                               np.asarray(feats[1]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(normal.reshape(B, H, W, 3)),
+                               np.asarray(feats[2]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hard.reshape(B, H, W, 1)),
+                               np.asarray(feats[0]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(soft.reshape(B, H, W)),
+                               np.asarray(soft_g), atol=3e-4)
+
+
+def test_pallas_backward_matches_golden_autodiff(scene):
+    fvi, fz, fnz, F = scene["fvi"], scene["fz"], scene["fnz"], scene["F"]
+    rng = np.random.RandomState(1)
+    w = jnp.asarray(rng.randn(B, H, W), jnp.float32)
+
+    def loss_golden(fvi_):
+        attrs = [jnp.ones((B, F, 3, 1), jnp.float32)]
+        _, soft, _ = dibr_rasterization(H, W, fz, fvi_, attrs, fnz,
+                                        soft_mode="line")
+        return jnp.sum(soft * w)
+
+    def loss_v4(fvi_):
+        _, sumlog, _ = rasterize_plain_v4(fvi_, fz, fnz, height=H, width=W)
+        return jnp.sum((1.0 - jnp.exp(sumlog)).reshape(B, H, W) * w)
+
+    g_g = jax.grad(loss_golden)(fvi)
+    g_v = jax.grad(loss_v4)(fvi)
+    scale = float(jnp.max(jnp.abs(g_g)))
+    assert float(jnp.max(jnp.abs(g_g - g_v))) < 1e-4 * scale
+
+
+def test_fused_backward_full(scene):
+    fvi, fz, fnz = scene["fvi"], scene["fz"], scene["fnz"]
+    fn, face_uvs, F = scene["fn"], scene["face_uvs"], scene["F"]
+    rng = np.random.RandomState(2)
+    w_s = jnp.asarray(rng.randn(B, H * W), jnp.float32)
+    w_uv = jnp.asarray(rng.randn(B, H * W, 2), jnp.float32)
+    w_n = jnp.asarray(rng.randn(B, H * W, 3), jnp.float32)
+
+    def loss_golden(fvi_, uvs_, fn_):
+        attrs = [jnp.broadcast_to(uvs_[None], (B, F, 3, 2)),
+                 fn_[:, :, None, :].repeat(3, axis=2)]
+        (uv_im, n_im), soft, _ = dibr_rasterization(
+            H, W, fz, fvi_, attrs, fnz, soft_mode="line")
+        return (jnp.sum(soft.reshape(B, -1) * w_s)
+                + jnp.sum(uv_im.reshape(B, -1, 2) * w_uv)
+                + jnp.sum(n_im.reshape(B, -1, 3) * w_n))
+
+    def loss_v4(fvi_, uvs_, fn_):
+        _, soft, uv, normal, _, _ = rasterize_fused_v4(
+            fvi_, fz, fnz, uvs_, fn_, height=H, width=W)
+        return (jnp.sum(soft * w_s) + jnp.sum(uv * w_uv)
+                + jnp.sum(normal * w_n))
+
+    gg = jax.grad(loss_golden, argnums=(0, 1, 2))(fvi, face_uvs, fn)
+    gv = jax.grad(loss_v4, argnums=(0, 1, 2))(fvi, face_uvs, fn)
+    for a, b in zip(gg, gv):
+        scale = max(float(jnp.max(jnp.abs(a))), 1e-6)
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-4 * scale
+
+
+def test_overflow_counter(scene):
+    """A tiny capacity must REPORT drops, not silently cap."""
+    fvi, fz, fnz = scene["fvi"], scene["fz"], scene["fnz"]
+    _, _, dropped = rasterize_plain_v4(fvi, fz, fnz, height=H, width=W,
+                                       capacity=8)
+    assert np.all(np.asarray(dropped) > 0)
+    _, _, d0 = rasterize_plain_v4(fvi, fz, fnz, height=H, width=W)
+    assert np.all(np.asarray(d0) == 0)
+
+
+def test_default_capacity_covers_close_cameras(scene):
+    """The auto capacity heuristic (3x uniform share) must be lossless over
+    the training camera range (dist_range 2~7, reference train.py flag)."""
+    mesh = load_obj("template/sphere.obj", with_materials=True)
+    v = mesh_ops.normalize_template(mesh.vertices, 1.0)
+    faces = mesh.faces.astype(np.int32)
+    proj = cam.perspective_projection(math.atan(1.0 / 2.5) * 2, ratio=1.0)
+    n = 6
+    dists = jnp.asarray([2.0, 2.0, 3.0, 4.5, 6.0, 7.0], jnp.float32)
+    elevs = jnp.asarray([0.0, 30.0, 15.0, 5.0, 25.0, 10.0], jnp.float32)
+    azims = jnp.asarray([0.0, 90.0, 180.0, -90.0, 45.0, -135.0], jnp.float32)
+    cpos = cam.camera_position_from_spherical_angles(dists, elevs, azims,
+                                                     degrees=True)
+    tr = cam.generate_transformation_matrix(
+        cpos, jnp.zeros((n, 3), jnp.float32),
+        jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0], jnp.float32), (n, 3)))
+    verts = jnp.broadcast_to(jnp.asarray(v, jnp.float32)[None],
+                             (n,) + v.shape)
+    _, fvi, fn = cam.prepare_vertices(verts, jnp.asarray(faces), proj, tr)
+    fz = jnp.zeros((n, faces.shape[0], 3), jnp.float32)
+    _, _, dropped = rasterize_plain_v4(fvi, fz, fn[:, :, 2], height=H,
+                                       width=W)
+    assert np.all(np.asarray(dropped) == 0)
