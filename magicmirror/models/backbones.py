@@ -247,12 +247,17 @@ BACKBONE_DIMS = {
     "hr18": 2048,
     "hr18sv2": 2048,
     "hr18sv1": 2048,
+    "densenet121": 1024,
+    "densenet161": 2208,
+    "swin": 1024,
 }
 
 
 def make_backbone(pretrain: str, nc: int, nk: int, norm: str, coordconv: bool):
     """Backbone factory mirroring the reference's dispatch
-    (reference model_res.py:118-140, 228-255)."""
+    (reference model_res.py:118-140, 228-255: substring matching on the
+    --pretrains value; 'dense' -> Densenet_4C, 'swin' -> Swin_4C,
+    'hr18*' -> HRnet_4C)."""
     if pretrain == "none":
         return Base4C(nc=nc, nk=nk, norm=norm, coordconv=coordconv), 288
     if pretrain == "unet":
@@ -261,6 +266,19 @@ def make_backbone(pretrain: str, nc: int, nk: int, norm: str, coordconv: bool):
         return Resnet4C(arch=pretrain), 512
     if "res50" in pretrain or "rex50" in pretrain:
         return Resnet4C(arch="res50"), 2048
+    if "dense" in pretrain:
+        from .backbones_zoo import DenseNet4C
+
+        arch = "densenet161" if pretrain == "densenet161" else "densenet121"
+        return DenseNet4C(arch=arch), BACKBONE_DIMS.get(arch, 1024)
+    if "swin" in pretrain:
+        from .swin import SwinV2Base4C
+
+        return SwinV2Base4C(), 1024
     if "hr18" in pretrain:
-        return HRNetStem4C(norm=norm), 2048
+        from .backbones_zoo import HRNetW18SmallV2_4C
+
+        # timm-faithful hrnet_w18_small_v2 (converter-compatible); the
+        # round-1 HRNetStem4C stand-in remains importable for old ckpts
+        return HRNetW18SmallV2_4C(), 2048
     raise ValueError(f"unknown backbone: {pretrain}")

@@ -37,6 +37,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -209,8 +210,10 @@ def _fwd_kernel(rows_ref, *out_refs, K, npix, width, height, sigmainv, fused):
     p_x = col.astype(jnp.float32) * (2.0 / width) + (1.0 / width - 1.0)
     p_y = row.astype(jnp.float32) * (-2.0 / height) + (1.0 - 1.0 / height)
 
+    log_pc = float(np.log(_P_CLAMP))
+
     def body(i, carry):
-        best_z, best_id, sumlog = carry[0], carry[1], carry[2]
+        best_z, best_id, prod = carry[0], carry[1], carry[2]
         base = pl.multiple_of(i * 8, 8)
         f = rows_ref[0, 0, pl.ds(base, 8), :]          # (8, R)
 
@@ -226,32 +229,39 @@ def _fwd_kernel(rows_ref, *out_refs, K, npix, width, height, sigmainv, fused):
         zi = jnp.where(inside, z, _Z_INIT)
         take = zi > best_z
         best_z = jnp.where(take, zi, best_z)
-        best_id = jnp.where(take, col1(FID) + jnp.zeros_like(best_id),
-                            best_id)
+        best_id = jnp.where(take, col1(FID), best_id)
         dbx = jnp.maximum(col1(BXMIN) - p_x, p_x - col1(BXMAX))
         dby = jnp.maximum(col1(BYMIN) - p_y, p_y - col1(BYMAX))
         dl2 = jnp.maximum(dl, jnp.maximum(dbx, dby))
         dpos = jnp.maximum(dl2, 0.0)
-        p_soft = _P_CLAMP * jnp.exp(dpos * dpos * (-sigmainv))
-        sumlog = sumlog + jnp.log1p(-p_soft)
-        out = [best_z, best_id, sumlog]
+        # accumulate the PRODUCT prod *= (1 - clamp*exp(-s*d^2)) instead of
+        # the log1p sum — identical soft mask in f32 (soft = 1 - prod
+        # saturates at the same point 1-exp(sumlog) rounds to 1.0) and one
+        # transcendental per pair instead of two.  clamp folds into the
+        # exponent: clamp*exp(t) = exp(t + log clamp).
+        p_soft = jnp.exp(dpos * dpos * (-sigmainv) + log_pc)
+        prod = prod * (1.0 - p_soft)
+        out = [best_z, best_id, prod]
         if fused:
             bu, bv, bnx, bny, bnz = carry[3:]
             u = col1(UX) * p_x + col1(UY) * p_y + col1(UC)
             v = col1(VX) * p_x + col1(VY) * p_y + col1(VC)
             out += [jnp.where(take, u, bu), jnp.where(take, v, bv),
-                    jnp.where(take, col1(NXR) + jnp.zeros_like(bnx), bnx),
-                    jnp.where(take, col1(NYR) + jnp.zeros_like(bny), bny),
-                    jnp.where(take, col1(NZR) + jnp.zeros_like(bnz), bnz)]
+                    jnp.where(take, col1(NXR), bnx),
+                    jnp.where(take, col1(NYR), bny),
+                    jnp.where(take, col1(NZR), bnz)]
         return tuple(out)
 
     zeros = jnp.zeros((8, npix), jnp.float32)
     init = [jnp.full((8, npix), _Z_INIT, jnp.float32),
-            jnp.full((8, npix), jnp.inf, jnp.float32), zeros]
+            jnp.full((8, npix), jnp.inf, jnp.float32),
+            jnp.ones((8, npix), jnp.float32)]
     if fused:
         init += [zeros, zeros, zeros, zeros, zeros]
+    # NB: Mosaic's fori_loop lowering supports only unroll=1 or full unroll;
+    # full unroll inflates live ranges (VMEM OOM at 128^2 in round 1)
     fin = jax.lax.fori_loop(0, K // 8, body, tuple(init))
-    best_z, best_id, sumlog = fin[0], fin[1], fin[2]
+    best_z, best_id, prod = fin[0], fin[1], fin[2]
 
     zmax = jnp.max(best_z, axis=0, keepdims=True)          # (1, npix)
     covered = zmax > _Z_FLOOR
@@ -259,8 +269,14 @@ def _fwd_kernel(rows_ref, *out_refs, K, npix, width, height, sigmainv, fused):
     idsel = jnp.min(jnp.where(winner, best_id, jnp.inf), axis=0,
                     keepdims=True)
     idx = jnp.where(covered, idsel, -1.0)
+    # Mosaic has no reduce_prod lowering — 3-step pairwise tree instead
+    p4 = prod[0:4] * prod[4:8]
+    p2 = p4[0:2] * p4[2:4]
+    prod_all = p2[0:1] * p2[1:2]
+    # report sumlog = log prod for API compatibility (prod == 0 underflow ->
+    # -inf -> soft == 1 exactly, same as the saturated log-sum path)
     out_refs[0][0, 0, :, :] = idx.astype(jnp.int32)
-    out_refs[1][0, 0, :, :] = jnp.sum(sumlog, axis=0, keepdims=True)
+    out_refs[1][0, 0, :, :] = jnp.log(prod_all)
     if fused:
         sel = winner & (best_id == idsel) & covered
         for k, battr in enumerate(fin[3:]):
