@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""On-chip kernel parity artifact (VERDICT round-1 item 7): run the COMPILED
+(non-interpret) Pallas v4 rasterizer forward + backward on the real TPU
+against the XLA golden path and write a JSON verdict to PARITY.json.
+
+    python bench_parity.py          # on TPU; errors out if no TPU present
+"""
+import json
+import math
+import os
+import sys
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if not on_tpu and "--allow-cpu" not in sys.argv:
+        print(json.dumps({"ok": False, "error": "no TPU present"}))
+        sys.exit(1)
+
+    from magicmirror.geometry import camera as cam
+    from magicmirror.geometry import mesh as mesh_ops
+    from magicmirror.geometry.obj_io import load_obj
+    from magicmirror.ops.rasterize import dibr_rasterization
+    from magicmirror.ops.pallas.rasterize_v4 import rasterize_fused_v4
+
+    mesh = load_obj("template/sphere.obj", with_materials=True)
+    v = mesh_ops.normalize_template(mesh.vertices, 1.0)
+    faces = mesh.faces.astype(np.int32)
+    B, H, W = 4, 128, 128
+    rng = np.random.RandomState(0)
+    verts = jnp.asarray(v[None] + rng.uniform(-0.05, 0.05, (B,) + v.shape),
+                        jnp.float32)
+    proj = cam.perspective_projection(math.atan(1.0 / 2.5) * 2, ratio=1.0)
+    cpos = cam.camera_position_from_spherical_angles(
+        jnp.asarray(rng.uniform(2, 4, B), jnp.float32),
+        jnp.asarray(rng.uniform(0, 30, B), jnp.float32),
+        jnp.asarray(rng.uniform(-180, 180, B), jnp.float32), degrees=True)
+    tr = cam.generate_transformation_matrix(
+        cpos, jnp.zeros((B, 3), jnp.float32),
+        jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0], jnp.float32), (B, 3)))
+    fvc, fvi, fn = cam.prepare_vertices(verts, jnp.asarray(faces), proj, tr)
+    fz, fnz = fvc[:, :, :, 2], fn[:, :, 2]
+    F = faces.shape[0]
+    face_uvs = jnp.asarray(mesh.uvs[mesh.face_uvs_idx])
+    w_soft = jnp.asarray(rng.randn(B, H * W), jnp.float32)
+    w_uv = jnp.asarray(rng.randn(B, H * W, 2), jnp.float32)
+
+    # ---- forward parity (compiled kernel vs XLA golden)
+    attrs = [jnp.ones((B, F, 3, 1), jnp.float32),
+             jnp.broadcast_to(face_uvs[None], (B, F, 3, 2)),
+             fn[:, :, None, :].repeat(3, axis=2)]
+    golden = jax.jit(lambda fvi_: dibr_rasterization(
+        H, W, fz, fvi_, attrs, fnz, soft_mode="line"))
+    (feats, soft_g, idx_g) = golden(fvi)
+    pallas = jax.jit(lambda fvi_: rasterize_fused_v4(
+        fvi_, fz, fnz, face_uvs, fn, height=H, width=W,
+        interpret=not on_tpu))
+    idx, soft, uv, normal, hard, dropped = pallas(fvi)
+
+    idx_mismatch = float(np.mean(np.asarray(idx.reshape(B, H, W))
+                                 != np.asarray(idx_g)))
+    soft_err = float(jnp.max(jnp.abs(soft.reshape(B, H, W) - soft_g)))
+    uv_err = float(jnp.max(jnp.abs(uv.reshape(B, H, W, 2) - feats[1])))
+
+    # ---- backward parity (compiled Pallas backward vs golden autodiff)
+    def loss_g(fvi_):
+        f, s, _ = golden(fvi_)
+        return jnp.sum(s.reshape(B, -1) * w_soft) + jnp.sum(
+            f[1].reshape(B, -1, 2) * w_uv)
+
+    def loss_p(fvi_):
+        _, s, uv_, _, _, _ = pallas(fvi_)
+        return jnp.sum(s * w_soft) + jnp.sum(uv_ * w_uv)
+
+    g_g = jax.jit(jax.grad(loss_g))(fvi)
+    g_p = jax.jit(jax.grad(loss_p))(fvi)
+    scale = float(jnp.max(jnp.abs(g_g)))
+    grad_rel = float(jnp.max(jnp.abs(g_g - g_p))) / max(scale, 1e-30)
+
+    verdict = {
+        "ok": bool(idx_mismatch < 1e-4 and soft_err < 5e-4
+                   and uv_err < 1e-4 and grad_rel < 1e-4
+                   and int(np.asarray(dropped).sum()) == 0),
+        "backend": jax.default_backend(),
+        "compiled_pallas": on_tpu,
+        "idx_mismatch_frac": idx_mismatch,
+        "soft_max_abs_err": soft_err,
+        "uv_max_abs_err": uv_err,
+        "grad_max_rel_err": grad_rel,
+        "dropped": int(np.asarray(dropped).sum()),
+    }
+    out_path = os.environ.get("PARITY_OUT", "PARITY.json")
+    with open(out_path, "w") as fp:
+        json.dump(verdict, fp, indent=1)
+    print(json.dumps(verdict))
+    sys.exit(0 if verdict["ok"] else 1)
+
+
+if __name__ == "__main__":
+    main()

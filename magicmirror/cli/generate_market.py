@@ -42,6 +42,74 @@ def composite_on_blur(render_rgba: np.ndarray, original: np.ndarray) -> np.ndarr
     return rgb * mask + bg * (1 - mask)
 
 
+def new_class9(opt, loader, diffRender, encode, render):
+    """Two-pass 'new class' synthesis (reference
+    generate_market_new_class9.py:268-362): pass 1 averages each person-id's
+    predicted texture over the train set; pass 2 re-renders every image at
+    azimuth deltas {-45, 0, 45} x 3 repeats with the texture blended 50/50
+    with a RANDOM person's mean texture, composited over a Gaussian-blurred
+    random in-batch background, written into pair-id class folders
+    (old_id+new_id sorted numerically; same-id pairs skipped)."""
+    mean_tex: dict[str, list] = {}
+    for data in tqdm.tqdm(loader, desc="pass1: mean textures"):
+        Xa = jnp.asarray(data["images"])
+        att = deep_copy(encode(Xa), detach=True)
+        tex = np.asarray(att["textures"])
+        for b in range(Xa.shape[0]):
+            pid = os.path.basename(data["path"][b]).split("_")[0]
+            mean_tex.setdefault(pid, []).append(tex[b])
+    names = sorted(mean_tex)
+    mean_arr = np.stack([np.mean(mean_tex[p], axis=0) for p in names])
+
+    rng = np.random.RandomState(opt.manualSeed)
+    for data in tqdm.tqdm(loader, desc="pass2: render"):
+        Xa = jnp.asarray(data["images"])
+        att = deep_copy(encode(Xa), detach=True)
+        B = Xa.shape[0]
+        bg_np = np.asarray(Xa[..., :3])
+        for _ in range(3):
+            rand_ids = rng.randint(0, len(names), B)
+            for delta in (-45, 0, 45):
+                jit = dict(att)
+                jit["azimuths"] = att["azimuths"] - float(delta)
+                jit["distances"] = att["distances"] - 0.5 * jnp.asarray(
+                    rng.randn(B), jnp.float32)
+                jit["elevations"] = att["elevations"] - 0.1 * jnp.asarray(
+                    rng.randn(B), jnp.float32)
+                jit["textures"] = 0.5 * att["textures"] + 0.5 * jnp.asarray(
+                    mean_arr[rand_ids])
+                rgba = np.asarray(render(**jit))
+                for b in range(B):
+                    old_id = os.path.basename(data["path"][b]).split("_")[0]
+                    new_id = names[rand_ids[b]]
+                    try:
+                        same = int(old_id) == int(new_id)
+                        lower = int(old_id) < int(new_id)
+                    except ValueError:
+                        same, lower = old_id == new_id, old_id < new_id
+                    if same:
+                        continue
+                    dir_id = old_id + new_id if lower else new_id + old_id
+                    mask = Image.fromarray(
+                        (rgba[b, :, :, 3] * 255).astype(np.uint8))
+                    mask = np.asarray(mask.filter(
+                        ImageFilter.GaussianBlur(3)), np.float32) / 255.0
+                    bg = Image.fromarray(
+                        (bg_np[rng.randint(0, B)] * 255).astype(np.uint8))
+                    bg = np.asarray(bg.filter(ImageFilter.GaussianBlur(3)),
+                                    np.float32) / 255.0
+                    img = (rgba[b, :, :, :3] * mask[..., None]
+                           + bg * (1 - mask[..., None]))
+                    base = os.path.splitext(
+                        os.path.basename(data["path"][b]))[0]
+                    out_dir = os.path.join(opt.out, "hq", "pytorch", dir_id)
+                    os.makedirs(out_dir, exist_ok=True)
+                    save_array_image(
+                        img, os.path.join(out_dir,
+                                          f"{base[:-4]}{delta:03d}.jpg"))
+    print("new-class9 dataset written under", opt.out)
+
+
 def main(argv=None):
     parser = build_parser()
     parser.add_argument("--out", default="../Magic_Market")
@@ -49,11 +117,14 @@ def main(argv=None):
                         help="swap textures across a shuffled pairing "
                              "(generate_market++ mode)")
     parser.add_argument("--poisson", action="store_true", default=False)
+    parser.add_argument("--new_class9", action="store_true", default=False,
+                        help="pair-id mean-texture synthesis "
+                             "(generate_market_new_class9 mode)")
     opt = parser.parse_args(argv)
     opt.outf = "./log/" + opt.name
     opt = load_options(opt, skip=("name", "outf", "dataroot", "batchSize",
                                   "workers", "resume", "out", "texture_swap",
-                                  "poisson"))
+                                  "poisson", "new_class9"))
     opt.outf = "./log/" + opt.name
 
     dataset = MarketDataset(opt.dataroot, opt.imageSize, train=True, aug=False,
@@ -73,6 +144,11 @@ def main(argv=None):
             Xa, state.template, lpl, train_shape=0, train=False)
 
     render = jax.jit(lambda **att: diffRender.render(**att)[0])
+
+    if opt.new_class9:
+        opt.out = getattr(opt, "out", None) or "../Magic_Market9"
+        new_class9(opt, loader, diffRender, encode, render)
+        return
 
     rng = random.Random(0)
     for data in tqdm.tqdm(loader):

@@ -26,15 +26,29 @@ def build_dataloaders(opt, dataset_cls=CUBDataset, **ds_kwargs):
                                       bg=opt.bg, **ds_kwargs)
     test_dataset = dataset_cls(opt.dataroot, opt.imageSize, train=False,
                                aug=False, bg=opt.bg, **ds_kwargs)
-    train_dl = DataLoader(train_dataset, opt.batchSize, shuffle=True,
+    # multi-host: per-process batch slice + disjoint strided data shard
+    # (global batch semantics = reference single-host batchSize)
+    shard = None
+    local_bs = opt.batchSize
+    rank = int(getattr(opt, "process_index", 0))
+    count = int(getattr(opt, "process_count", 1))
+    if count > 1:
+        assert opt.batchSize % count == 0, (
+            "--batchSize must divide by the process count")
+        local_bs = opt.batchSize // count
+        shard = (rank, count)
+    train_dl = DataLoader(train_dataset, local_bs, shuffle=True,
                           drop_last=True, num_workers=opt.workers,
-                          prefetch_factor=opt.prefetch_factor)
-    train_noaug_dl = DataLoader(train_noaug_dataset, opt.batchSize,
+                          prefetch_factor=opt.prefetch_factor,
+                          seed=opt.manualSeed, shard=shard)
+    train_noaug_dl = DataLoader(train_noaug_dataset, local_bs,
                                 shuffle=True, drop_last=True,
                                 num_workers=opt.workers,
-                                prefetch_factor=opt.prefetch_factor)
-    test_dl = DataLoader(test_dataset, opt.batchSize, shuffle=False,
-                         num_workers=opt.workers, prefetch_factor=2)
+                                prefetch_factor=opt.prefetch_factor,
+                                seed=opt.manualSeed, shard=shard)
+    test_dl = DataLoader(test_dataset, local_bs, shuffle=False,
+                         num_workers=opt.workers, prefetch_factor=2,
+                         shard=shard)
     return train_dl, test_dl, train_noaug_dl
 
 
@@ -49,6 +63,17 @@ def prepare(opt):
     if multiprocessing.cpu_count() >= 32:
         opt.workers = 8
         opt.prefetch_factor = 4
+    # multi-host bring-up BEFORE first backend use (dist/mesh.py): after
+    # this, jax.devices() spans every host and --multigpus builds the
+    # global data-parallel mesh
+    from ..dist.mesh import initialize_distributed, multihost_requested
+
+    if multihost_requested():
+        opt.process_index, opt.process_count = initialize_distributed()
+        print(f"multi-host: process {opt.process_index}/{opt.process_count}")
+        opt.multigpus = True
+    else:
+        opt.process_index, opt.process_count = 0, 1
     save_options(opt)
     return opt
 

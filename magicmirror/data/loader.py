@@ -29,7 +29,11 @@ def _collate(samples):
 
 class DataLoader:
     def __init__(self, dataset, batch_size, shuffle=False, drop_last=False,
-                 num_workers=4, prefetch_factor=3, seed=None):
+                 num_workers=4, prefetch_factor=3, seed=None, shard=None):
+        """``shard=(process_index, process_count)`` gives each process a
+        disjoint strided 1/count subset of the (identically shuffled) index
+        order — the multi-host data split.  With shard set, ``seed`` is
+        required so every process shuffles the same global order."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -37,10 +41,22 @@ class DataLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch_factor = prefetch_factor
         self.seed = seed
+        self.shard = shard
+        if shard is not None and shard[1] > 1 and shuffle and seed is None:
+            raise ValueError(
+                "sharded shuffled DataLoader needs a seed (all processes "
+                "must agree on the global order)")
         self._epoch = 0
 
-    def __len__(self):
+    def _num_samples(self):
         n = len(self.dataset)
+        if self.shard is not None:
+            rank, count = self.shard
+            n = (n - rank + count - 1) // count
+        return n
+
+    def __len__(self):
+        n = self._num_samples()
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)
@@ -51,6 +67,9 @@ class DataLoader:
             rng = _random.Random(None if self.seed is None
                                  else self.seed + self._epoch)
             rng.shuffle(idx)
+        if self.shard is not None:
+            rank, count = self.shard
+            idx = idx[rank::count]
         nb = len(self)
         for b in range(nb):
             chunk = idx[b * self.batch_size:(b + 1) * self.batch_size]

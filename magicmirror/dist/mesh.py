@@ -54,9 +54,53 @@ def shard_train_state(mesh: Mesh, state):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)
 
 
-def initialize_distributed():
-    """Multi-host init (jax.distributed); no-op when single-process."""
-    try:
-        jax.distributed.initialize()
-    except Exception:
-        pass
+def multihost_requested() -> bool:
+    """True when standard multi-host env vars are present (torchrun-style
+    COORDINATOR_ADDRESS / jax.distributed auto-detect envs)."""
+    import os
+
+    return any(v in os.environ for v in (
+        "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+        "MAGICMIRROR_NUM_PROCESSES"))
+
+
+def initialize_distributed() -> tuple[int, int]:
+    """Multi-host init: call ``jax.distributed.initialize`` when the
+    coordinator env is configured (errors PROPAGATE — a half-initialized
+    cluster must not silently fall back to single-host), no-op otherwise.
+
+    Returns (process_index, process_count).  Called from ``cli/train.py``
+    ``prepare()`` before any backend use; afterwards ``jax.devices()`` spans
+    every host's chips so ``make_device_mesh`` builds the global DP mesh.
+    """
+    import os
+
+    if multihost_requested() and jax.process_count() == 1:
+        kwargs = {}
+        addr = (os.environ.get("JAX_COORDINATOR_ADDRESS")
+                or os.environ.get("COORDINATOR_ADDRESS"))
+        if addr:
+            kwargs["coordinator_address"] = addr
+        n = os.environ.get("MAGICMIRROR_NUM_PROCESSES")
+        if n:
+            kwargs["num_processes"] = int(n)
+            kwargs["process_id"] = int(os.environ.get(
+                "MAGICMIRROR_PROCESS_ID", "0"))
+        jax.distributed.initialize(**kwargs)
+    return jax.process_index(), jax.process_count()
+
+
+def shard_global_batch(mesh: Mesh, batch, axis_name: str = "data"):
+    """Form a GLOBAL batch-sharded array from this process's local shard
+    (multi-host: every process passes its own batchSize/process_count slice;
+    single-host this equals ``shard_batch``)."""
+    sharding = batch_sharding(mesh, axis_name)
+
+    def put(x):
+        if not (hasattr(x, "shape") and getattr(x, "ndim", 0) > 0):
+            return x
+        if jax.process_count() == 1:
+            return jax.device_put(x, sharding)
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+    return jax.tree_util.tree_map(put, batch)

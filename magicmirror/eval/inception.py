@@ -170,6 +170,14 @@ class InceptionV3FID(nn.Module):
 DEFAULT_WEIGHTS = os.path.join(os.path.dirname(__file__), "fid_weights.npz")
 
 
+def fid_weights_available(path: str | None = None) -> bool:
+    """True iff converted pytorch-fid inception weights are on disk — callers
+    that make DECISIONS on FID (best-checkpoint selection) must check this
+    and refuse the random-init fallback."""
+    path = path or os.environ.get("MAGICMIRROR_FID_WEIGHTS", DEFAULT_WEIGHTS)
+    return os.path.isfile(path)
+
+
 def load_fid_params(path: str | None = None):
     """Load converted FID weights, or fixed-seed random params with warning."""
     model = InceptionV3FID()

@@ -332,3 +332,63 @@ def upsample2x(x):
     B, H, W, C = x.shape
     x = jnp.repeat(x, 2, axis=1)
     return jnp.repeat(x, 2, axis=2)
+
+
+class AddCoords1d(nn.Module):
+    """CoordConv for 1-D sequences: appends one normalized position channel
+    (reference model_res.py:875-901; used by the shape head's Conv1d stack
+    when coordconv is on, model_res.py:297-299).  Layout here is (B, L, C)
+    channels-last."""
+
+    @nn.compact
+    def __call__(self, x):
+        B, L, C = x.shape
+        pos = jnp.linspace(-1.0, 1.0, L, dtype=x.dtype)
+        pos = jnp.broadcast_to(pos[None, :, None], (B, L, 1))
+        return jnp.concatenate([x, pos], axis=-1)
+
+
+class TextureFPN(nn.Module):
+    """Plain-FPN texture-flow decoder (reference model_res.py:399-434) — the
+    alternative to TextureBiFPN the reference keeps selectable at
+    model_res.py:548.  Takes the backbone pyramid (x5, x4, x3, x2) and emits
+    a hardtanh'd 2-channel flow at 2x the x2 resolution."""
+    outdim: int
+    droprate: float = 0.0
+    coordconv: bool = False
+    norm: str = "bn"
+
+    @nn.compact
+    def __call__(self, x5, x4, x3, x2, train: bool = True):
+        d = self.outdim
+        y = Conv2dBlock(d // 2, 3, 1, 1, norm=self.norm,
+                        coordconv=self.coordconv, name="up1")(x5, train=train)
+        y = upsample2x(y)
+        y = jnp.concatenate([y, x4], axis=-1)
+        y = Conv2dBlock(d // 4, 3, 1, 1, norm=self.norm,
+                        coordconv=self.coordconv, name="up2_conv")(
+            y, train=train)
+        y = ResBlocks(1, d // 4, name="up2_res")(y, train=train)
+        y = upsample2x(y)
+        y = jnp.concatenate([y, x3], axis=-1)
+        y = Conv2dBlock(d // 8, 3, 1, 1, norm=self.norm, name="up3_conv")(
+            y, train=train)
+        y = ResBlocks(1, d // 8, name="up3_res")(y, train=train)
+        y = upsample2x(y)
+        y = jnp.concatenate([y, x2], axis=-1)
+        y = Conv2dBlock(d // 8, 3, 1, 1, norm=self.norm, name="up4_conv")(
+            y, train=train)
+        y = ResBlocks(1, d // 8, name="up4_res")(y, train=train)
+        y = upsample2x(y)
+        y = ASPP(d // 8, name="up5_aspp")(y)
+        y = Conv2dBlock(d // 16, 3, 1, 1, norm=self.norm, name="up5_conv")(
+            y, train=train)
+        y = ResBlocks(1, d // 16, name="up5_res")(y, train=train)
+        y = upsample2x(y)
+        if self.droprate > 0:
+            y = nn.Dropout(self.droprate / 2, deterministic=not train)(y)
+        y = ASPP(d // 16, name="up6_aspp")(y)
+        y = Conv2dBlock(2, 5, 1, 2, norm="none", activation="none",
+                        padding_mode="reflect", name="up6_conv")(
+            y, train=train)
+        return jnp.clip(y, -1.0, 1.0)  # nn.Hardtanh

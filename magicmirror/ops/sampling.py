@@ -159,33 +159,33 @@ def texture_mapping_mxu(texture_coordinates, texture_maps,
     x = _unnormalize(grid_x, Wt, False)
     y = _unnormalize(grid_y, Ht, False)
 
-    # zero-pad one texel ring: taps at -1 / size land on zeros ('zeros' mode)
-    tex_p = jnp.pad(texture_maps, ((0, 0), (1, 1), (1, 1), (0, 0)))
-
     def one_axis_weights(coord, size):
         # bilinear taps = the tent kernel: weight of texel i is
-        # max(0, 1 - |x - i|) — one expression covers both taps and zeros
-        # everywhere else (half the build cost of two one-hots)
-        x = jnp.clip(coord, -1.0, float(size)) + 1.0  # into the padded frame
-        iota = jnp.arange(size + 2, dtype=jnp.float32)
-        return jax.nn.relu(1.0 - jnp.abs(x[..., None] - iota[None, None, :]))
+        # max(0, 1 - |x - i|).  Restricting i to the VALID range [0, size)
+        # makes out-of-range taps simply absent — exactly 'zeros' padding —
+        # with no padded texture ring, and (for 2^k texture sides) keeps the
+        # contraction/output dims exact MXU tile multiples (514/774 would be
+        # padded to 640/896 internally: +45% wasted MXU flops).
+        iota = jnp.arange(size, dtype=jnp.float32)
+        return jax.nn.relu(1.0 - jnp.abs(coord[..., None] - iota[None, None, :]))
 
     def chunk_fn(args):
         xc, yc, texc = args
-        Wy = one_axis_weights(yc, Ht).astype(compute_dtype)  # (n, P, Ht+2)
-        Wx = one_axis_weights(xc, Wt).astype(compute_dtype)  # (n, P, Wt+2)
-        t = texc.reshape(texc.shape[0], Ht + 2, (Wt + 2) * C).astype(compute_dtype)
+        Wy = one_axis_weights(yc, Ht).astype(compute_dtype)  # (n, P, Ht)
+        Wx = one_axis_weights(xc, Wt).astype(compute_dtype)  # (n, P, Wt)
+        t = texc.reshape(texc.shape[0], Ht, Wt * C).astype(compute_dtype)
         s1 = jnp.einsum("npy,nyk->npk", Wy, t,
                         preferred_element_type=jnp.float32)
-        s1 = s1.reshape(s1.shape[0], P, Wt + 2, C).astype(compute_dtype)
+        s1 = s1.reshape(s1.shape[0], P, Wt, C).astype(compute_dtype)
         out = jnp.einsum("npx,npxc->npc", Wx, s1,
                          preferred_element_type=jnp.float32)
         return out
 
     if N <= batch_chunk:
-        out = chunk_fn((x, y, tex_p))
+        out = chunk_fn((x, y, texture_maps))
     else:
         pad = (-N) % batch_chunk
+        tex_p = texture_maps
         if pad:
             x = jnp.concatenate([x, jnp.zeros((pad, P), x.dtype)])
             y = jnp.concatenate([y, jnp.zeros((pad, P), y.dtype)])
@@ -199,6 +199,32 @@ def texture_mapping_mxu(texture_coordinates, texture_maps,
     return out.reshape(N, Hg, Wg, C)
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _texture_pallas_vjp(texture_coordinates, texture_maps):
+    from .pallas.texture_tpu import texture_bilinear_pallas
+
+    return texture_bilinear_pallas(texture_coordinates, texture_maps)
+
+
+def _texture_pallas_fwd(texture_coordinates, texture_maps):
+    return (_texture_pallas_vjp(texture_coordinates, texture_maps),
+            (texture_coordinates, texture_maps))
+
+
+def _texture_pallas_bwd(res, g):
+    # backward through the (mathematically identical) XLA MXU formulation —
+    # transposed tent matmuls; training images are small so this is cheap
+    uv, tex = res
+    _, vjp = jax.vjp(texture_mapping_mxu, uv, tex)
+    return vjp(g)
+
+
+_texture_pallas_vjp.defvjp(_texture_pallas_fwd, _texture_pallas_bwd)
+
+
 def texture_mapping(texture_coordinates, texture_maps, mode: str = "bilinear"):
     """UV-sample texture maps, kaolin ``texture_mapping`` semantics (reference
     networks.py:305): uv in [0,1]^2, v=0 at the *bottom* of the texture image.
@@ -206,13 +232,17 @@ def texture_mapping(texture_coordinates, texture_maps, mode: str = "bilinear"):
     texture_coordinates: (B, H, W, 2); texture_maps: (B, Ht, Wt, C) NHWC.
     Returns (B, H, W, C).
 
-    The bilinear path dispatches to :func:`texture_mapping_mxu` on TPU for
-    large pixel counts (XLA's serial row-gather is the bottleneck otherwise);
-    the fallback uses a quad-packed single gather (one gather of 4C values
+    On TPU at large pixel counts the bilinear path runs the fused Pallas
+    kernel (ops/pallas/texture_tpu.py — tent weights generated in VMEM, both
+    contractions on the MXU, no HBM intermediates); its backward goes
+    through :func:`texture_mapping_mxu`, whose transposed matmuls XLA
+    derives.  Elsewhere a quad-packed single gather (one gather of 4C values
     per pixel instead of four).
     """
-    if (mode == "bilinear" and jax.default_backend() == "tpu"
-            and texture_coordinates.shape[1] * texture_coordinates.shape[2] >= 16384):
+    P = texture_coordinates.shape[1] * texture_coordinates.shape[2]
+    if mode == "bilinear" and jax.default_backend() == "tpu" and P >= 16384:
+        if P % 512 == 0:
+            return _texture_pallas_vjp(texture_coordinates, texture_maps)
         return texture_mapping_mxu(texture_coordinates, texture_maps)
     uv = jnp.clip(texture_coordinates, 0.0, 1.0)
     grid_x = uv[..., 0] * 2.0 - 1.0

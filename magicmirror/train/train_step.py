@@ -235,11 +235,19 @@ def make_train_step(opt, diffRender, netE, netD, opt_e, opt_d, lpl,
 
         Ma, Mer90, Mir = _select_masks(opt.unmask, Xa, Xer90, Xir)
 
+        # pull the int32 rasterizer-overflow counters OUT of the attribute
+        # dicts (outs is differentiated; grad rejects integer inputs) and
+        # carry one float diagnostic instead
+        drops = [a.pop("dropped_faces") for a in (Ae, Ai, Aire)
+                 if isinstance(a, dict) and "dropped_faces" in a]
         outs = {
             "Xer": Xer, "Xir": Xir, "Xer90": Xer90,
             "Ma": Ma, "Mer90": Mer90, "Mir": Mir,
             "Ae": Ae, "Ai": Ai, "Aire": Aire,
         }
+        if drops:
+            outs["dropped_faces"] = jax.lax.stop_gradient(
+                sum(jnp.sum(d) for d in drops).astype(jnp.float32))
         # disentangle branches (reference trainer.py:456-494)
         if opt.dis1 > 0:
             Ae_fliplr, stats2 = apply_e(params_e, stats2, _fliplr(Xa),
@@ -359,11 +367,8 @@ def make_train_step(opt, diffRender, netE, netD, opt_e, opt_d, lpl,
         # rasterizer capacity-overflow diagnostic (v4 banded kernel): total
         # (band, face) pairs dropped this step across all renders; must stay
         # 0 — a nonzero count means band_capacity needs raising
-        drops = [jax.lax.stop_gradient(a["dropped_faces"])
-                 for a in (outs["Ae"], outs["Ai"], outs["Aire"])
-                 if isinstance(a, dict) and "dropped_faces" in a]
-        if drops:
-            metrics["dropped_faces"] = sum(jnp.sum(d) for d in drops)
+        if "dropped_faces" in outs:
+            metrics["dropped_faces"] = outs["dropped_faces"]
         return lossR, metrics
 
     def train_step(state, Xa, rng, lr_e, lr_d, warm_up, train_shape, Va=None):

@@ -223,9 +223,11 @@ def trainer(opt, train_dataloader, test_dataloader, train_noaug_dataloader):
 
     def to_device(batch_images):
         if mesh is not None:
-            from ..dist.mesh import batch_sharding
+            # single-host: device_put with batch sharding; multi-host: the
+            # local per-process slice assembles into the GLOBAL batch array
+            from ..dist.mesh import shard_global_batch
 
-            return jax.device_put(batch_images, batch_sharding(mesh))
+            return shard_global_batch(mesh, batch_images)
         return batch_images
 
     ckpt = CheckpointManager(os.path.join(outf, "ckpts"))
@@ -386,12 +388,27 @@ def trainer(opt, train_dataloader, test_dataloader, train_noaug_dataloader):
 
                 print("===========Saving Best Snapshot===========")
                 ckpt.save("latest_ckpt", state, epoch)
-                if fid_inter < best_fid:
+                # best-checkpoint criterion: fid_inter (reference
+                # trainer.py:966-977) — but ONLY with real inception weights.
+                # With the random-init fallback FID is noise, so selecting on
+                # it would pick an arbitrary checkpoint; fall back to
+                # mask-IoU (higher is better) and say so loudly.
+                from ..eval.inception import fid_weights_available
+
+                if fid_weights_available():
+                    crit, better = fid_inter, fid_inter < best_fid
+                else:
+                    print("ERROR: FID weights unavailable — best-checkpoint "
+                          "selection keyed on mask-IoU instead of fid_inter "
+                          "(convert weights with "
+                          "magicmirror/eval/convert_fid_weights.py)")
+                    crit, better = -iou, -iou < best_fid
+                if better:
                     ckpt.save("best_ckpt", state, epoch)
                     ckpt.save_best_mesh(state.template,
                                         np.asarray(diffRender.faces),
                                         diffRender.uvs)
-                    best_fid = fid_inter
+                    best_fid = crit
 
         # ---- EM template update (reference trainer.py:979-1105)
         if opt.em > 0 and epoch % opt.em_gap == 0 and epoch < opt.swa_start:

@@ -35,3 +35,71 @@ def test_entry_compiles():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     assert np.isfinite(np.asarray(out)).all()
+
+
+class _ToyDataset:
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        import numpy as np
+
+        return {"images": np.full((2, 2, 4), float(i), np.float32),
+                "path": f"img_{i}.png"}
+
+
+def test_sharded_loader_partitions_disjointly():
+    """Multi-host data split (VERDICT round-1 item 8): per-process strided
+    shards cover the dataset exactly once and agree on the shuffled order."""
+    from magicmirror.data.loader import DataLoader
+
+    n, count = 37, 4
+    seen = []
+    for rank in range(count):
+        dl = DataLoader(_ToyDataset(n), batch_size=3, shuffle=True,
+                        num_workers=1, seed=7, shard=(rank, count))
+        dl._epoch = 1
+        ids = [i for chunk in dl._batches() for i in chunk]
+        seen.append(ids)
+    flat = sorted(i for ids in seen for i in ids)
+    assert flat == list(range(n))
+    # identical global order: interleaving the shards reproduces one
+    # unsharded shuffle
+    dl0 = DataLoader(_ToyDataset(n), batch_size=3, shuffle=True,
+                     num_workers=1, seed=7)
+    dl0._epoch = 1
+    full = [i for chunk in dl0._batches() for i in chunk]
+    for rank in range(count):
+        assert seen[rank] == full[rank::count]
+
+
+def test_global_batch_semantics_on_mesh():
+    """shard_global_batch produces a batch-sharded GLOBAL array whose
+    device order matches the host batch (single-process path of the
+    multi-host assembler)."""
+    import jax
+    import numpy as np
+
+    from magicmirror.dist.mesh import make_device_mesh, shard_global_batch
+
+    mesh = make_device_mesh()
+    x = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
+    batch = {"images": x, "path": ["p"] * 8}
+    out = shard_global_batch(mesh, batch)
+    assert out["images"].shape == (8, 3)
+    np.testing.assert_array_equal(np.asarray(out["images"]), x)
+    shard_sizes = {d.data.shape[0] for d in out["images"].addressable_shards}
+    assert shard_sizes == {1}  # batch axis split over the 8 mesh devices
+    assert out["path"] == ["p"] * 8
+
+
+def test_sharded_loader_requires_seed():
+    import pytest as _pytest
+
+    from magicmirror.data.loader import DataLoader
+
+    with _pytest.raises(ValueError):
+        DataLoader(_ToyDataset(8), 2, shuffle=True, shard=(0, 2))
