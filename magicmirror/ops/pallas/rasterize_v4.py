@@ -159,23 +159,38 @@ def _face_rows(fvi, fz, fnz, face_uvs=None, face_normals=None):
 
 
 # ------------------------------------------------------------------- binning
-def _bin_lists(fvi, fnz, n_bands: int, capacity: int):
-    """Horizontal-band face lists -> (lists (NB, K) i32 into rows[F+1],
-    dropped () i32 = #(band, face) pairs past the capacity).  Backfaces are
-    dropped at bin time (no z/soft contribution)."""
+def _bin_lists(fvi, fnz, n_bands: int, capacity: int, n_cols: int = 1):
+    """2-D cell face lists -> (lists (NB*NC, K) i32 into rows[F+1],
+    dropped () i32 = #(cell, face) pairs past the capacity).  Cells are
+    horizontal bands split into ``n_cols`` column blocks: at 256² the
+    closest training camera (dist_range 2~7) packs up to 188 faces into one
+    full-width band but only 118 into a half-width cell, so the column
+    split is what lets the static capacity stay at 128 without drops.
+    Backfaces are dropped at bin time (no z/soft contribution)."""
     F = fvi.shape[0]
     ys = fvi[:, :, 1]
     ymin = ys.min(1) - _SOFT_MARGIN
     ymax = ys.max(1) + _SOFT_MARGIN
-    edges = 1.0 - 2.0 * jnp.arange(n_bands + 1, dtype=jnp.float32) / n_bands
-    band_top = edges[:-1][:, None]
-    band_bot = edges[1:][:, None]
-    overlap = ((ymax[None, :] >= band_bot) & (ymin[None, :] <= band_top)
-               & (fnz > 0.0)[None, :])                      # (NB, F)
+    yedges = 1.0 - 2.0 * jnp.arange(n_bands + 1, dtype=jnp.float32) / n_bands
+    yov = ((ymax[None, :] >= yedges[1:][:, None])
+           & (ymin[None, :] <= yedges[:-1][:, None])
+           & (fnz > 0.0)[None, :])                          # (NB, F)
+    if n_cols > 1:
+        xs = fvi[:, :, 0]
+        xmin = xs.min(1) - _SOFT_MARGIN
+        xmax = xs.max(1) + _SOFT_MARGIN
+        xedges = -1.0 + 2.0 * jnp.arange(n_cols + 1,
+                                         dtype=jnp.float32) / n_cols
+        xov = ((xmax[None, :] >= xedges[:-1][:, None])
+               & (xmin[None, :] <= xedges[1:][:, None]))    # (NC, F)
+        overlap = (yov[:, None, :] & xov[None, :, :]).reshape(
+            n_bands * n_cols, F)
+    else:
+        overlap = yov
     counts = overlap.sum(axis=1).astype(jnp.int32)
     dropped = jnp.maximum(counts - capacity, 0).sum()
     # count-and-pad WITHOUT a scatter (XLA TPU scatters are serial — the
-    # scatter formulation cost 4.8 ms at B=32/F=1280): sort each band's face
+    # scatter formulation cost 4.8 ms at B=32/F=1280): sort each cell's face
     # ids keyed so overlapping faces come first in id order, then clamp the
     # non-overlapping tail to the dead-sentinel index F.
     ids = jnp.arange(F, dtype=jnp.int32)[None, :]
@@ -185,30 +200,53 @@ def _bin_lists(fvi, fnz, n_bands: int, capacity: int):
     return lists, dropped
 
 
-def default_capacity(num_faces: int, n_bands: int) -> int:
-    """Static per-band face capacity: 3x the uniform share (measured worst
-    band density is ~2.7x at the benchmark camera range), rounded to the
-    8-face chunk, min 128.  Env MAGICMIRROR_BAND_CAPACITY overrides."""
+def default_capacity(num_faces: int, n_cells: int) -> int:
+    """Static per-cell face capacity: 4x the uniform share with a floor of
+    160 — sized so an adversarial sweep at the closest training camera
+    (dist 2, elev 0-30, ±0.08 vertex deformation) stays lossless for every
+    auto cell config (worst measured: 134 @256² 32x2 cells, 284 @128² 16x1;
+    see tests/test_rasterize_v4.py).  Rounded to the 8-face chunk.  Env
+    MAGICMIRROR_BAND_CAPACITY overrides; overflow is always COUNTED."""
     import os
 
     env = os.environ.get("MAGICMIRROR_BAND_CAPACITY")
     if env:
         cap = int(env)
     else:
-        cap = max(128, 3 * num_faces // n_bands)
+        cap = max(160, 4 * num_faces // n_cells)
     cap = -(-cap // 8) * 8
     return min(cap, num_faces + ((-num_faces) % 8))
 
 
 # ------------------------------------------------------------ forward kernel
-def _fwd_kernel(rows_ref, *out_refs, K, npix, width, height, sigmainv, fused):
-    band = pl.program_id(1)
+def _cell_pixel_coords(cell, npix, width, height, n_cols):
+    """NDC pixel centers of one (band, column) cell as (1, npix) rows.
+    Within a cell, pixels run row-major over (band_rows, width/n_cols)."""
+    cell_w = width // n_cols
+    band = cell // n_cols
+    colb = cell - band * n_cols
+    band_rows = npix // cell_w
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, npix), 1)
-    flat = band * npix + lane
-    row = flat // width
-    col = flat - row * width
+    r = lane // cell_w
+    xi = lane - r * cell_w
+    row = band * band_rows + r
+    col = colb * cell_w + xi
     p_x = col.astype(jnp.float32) * (2.0 / width) + (1.0 / width - 1.0)
     p_y = row.astype(jnp.float32) * (-2.0 / height) + (1.0 - 1.0 / height)
+    return p_x, p_y
+
+
+def _uncell(o, B, n_bands, n_cols, band_rows, cell_w):
+    """(B, NB*NC, 1, npix) cell-major -> (B, P) image row-major."""
+    o = o.reshape(B, n_bands, n_cols, band_rows, cell_w)
+    o = jnp.transpose(o, (0, 1, 3, 2, 4))
+    return o.reshape(B, n_bands * band_rows * n_cols * cell_w)
+
+
+def _fwd_kernel(rows_ref, *out_refs, K, npix, width, height, sigmainv, fused,
+                n_cols):
+    cell = pl.program_id(1)
+    p_x, p_y = _cell_pixel_coords(cell, npix, width, height, n_cols)
 
     log_pc = float(np.log(_P_CLAMP))
 
@@ -285,18 +323,22 @@ def _fwd_kernel(rows_ref, *out_refs, K, npix, width, height, sigmainv, fused):
 
 
 def _fwd_call(rows_banded, *, K, n_bands, npix, width, height, sigmainv,
-              fused, interpret):
+              fused, interpret, n_cols=1):
     B = rows_banded.shape[0]
     R = rows_banded.shape[-1]
+    n_cells = n_bands * n_cols
+    cell_w = width // n_cols
+    band_rows = npix // cell_w
     n_out = 7 if fused else 2
-    out_shape = [jax.ShapeDtypeStruct((B, n_bands, 1, npix), jnp.int32)] + [
-        jax.ShapeDtypeStruct((B, n_bands, 1, npix), jnp.float32)
+    out_shape = [jax.ShapeDtypeStruct((B, n_cells, 1, npix), jnp.int32)] + [
+        jax.ShapeDtypeStruct((B, n_cells, 1, npix), jnp.float32)
         for _ in range(n_out - 1)]
     kernel = functools.partial(_fwd_kernel, K=K, npix=npix, width=width,
-                               height=height, sigmainv=sigmainv, fused=fused)
+                               height=height, sigmainv=sigmainv, fused=fused,
+                               n_cols=n_cols)
     outs = pl.pallas_call(
         kernel,
-        grid=(B, n_bands),
+        grid=(B, n_cells),
         in_specs=[pl.BlockSpec((1, 1, K, R), lambda b, n: (b, n, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=[pl.BlockSpec((1, 1, 1, npix), lambda b, n: (b, n, 0, 0),
@@ -304,8 +346,7 @@ def _fwd_call(rows_banded, *, K, n_bands, npix, width, height, sigmainv,
         out_shape=out_shape,
         interpret=interpret,
     )(rows_banded)
-    P = n_bands * npix
-    return [o.reshape(B, P) for o in outs]
+    return [_uncell(o, B, n_bands, n_cols, band_rows, cell_w) for o in outs]
 
 
 # ----------------------------------------------------------- backward kernel
@@ -313,8 +354,8 @@ _BWD_TPS = 64  # pixels per sub-tile (sublane axis)
 
 
 def _bwd_kernel(rowsT_ref, g_ref, out_ref, *, K, npix, width, height,
-                sigmainv):
-    band = pl.program_id(1)
+                sigmainv, n_cols):
+    cell = pl.program_id(1)
 
     def rowv(j):
         return rowsT_ref[0, 0, j:j + 1, :]                 # (1, K)
@@ -325,11 +366,19 @@ def _bwd_kernel(rowsT_ref, g_ref, out_ref, *, K, npix, width, height,
     xmin, xmax = rowv(BXMIN), rowv(BXMAX)
     ymin, ymax = rowv(BYMIN), rowv(BYMAX)
 
+    cell_w = width // n_cols
+    band = cell // n_cols
+    colb = cell - band * n_cols
+    band_rows = npix // cell_w
+
     def sub(s, acc):
-        r = jax.lax.broadcasted_iota(jnp.int32, (_BWD_TPS, 1), 0)
-        flat = band * npix + s * _BWD_TPS + r
-        row = flat // width
-        col = flat - row * width
+        # pixel sub-tile on the SUBLANE axis, cell-row-major order
+        lane = jax.lax.broadcasted_iota(jnp.int32, (_BWD_TPS, 1), 0)
+        flat = s * _BWD_TPS + lane                      # index within cell
+        r = flat // cell_w
+        xi = flat - r * cell_w
+        row = band * band_rows + r
+        col = colb * cell_w + xi
         p_x = col.astype(jnp.float32) * (2.0 / width) + (1.0 / width - 1.0)
         p_y = row.astype(jnp.float32) * (-2.0 / height) + (1.0 - 1.0 / height)
         g = g_ref[0, 0, pl.ds(s * _BWD_TPS, _BWD_TPS), :]  # (TPS, 1)
@@ -380,15 +429,16 @@ def _bwd_kernel(rowsT_ref, g_ref, out_ref, *, K, npix, width, height,
     out_ref[0, 0, 13:16, :] = jnp.zeros((3, K), jnp.float32)
 
 
-def _bwd_call(rowsT, g_banded, *, K, n_bands, npix, width, height, sigmainv,
-              interpret):
+def _bwd_call(rowsT, g_banded, *, K, n_cells, npix, width, height, sigmainv,
+              interpret, n_cols=1):
     B = rowsT.shape[0]
     R = rowsT.shape[2]
     kernel = functools.partial(_bwd_kernel, K=K, npix=npix, width=width,
-                               height=height, sigmainv=sigmainv)
+                               height=height, sigmainv=sigmainv,
+                               n_cols=n_cols)
     return pl.pallas_call(
         kernel,
-        grid=(B, n_bands),
+        grid=(B, n_cells),
         in_specs=[
             pl.BlockSpec((1, 1, R, K), lambda b, n: (b, n, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -397,27 +447,31 @@ def _bwd_call(rowsT, g_banded, *, K, n_bands, npix, width, height, sigmainv,
         ],
         out_specs=pl.BlockSpec((1, 1, 16, K), lambda b, n: (b, n, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, n_bands, 16, K), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, n_cells, 16, K), jnp.float32),
         interpret=interpret,
     )(rowsT, g_banded)
 
 
 def _soft_backward(fvi, fz, fnz, g_sumlog, *, sigmainv, height, width,
-                   band_rows, capacity, interpret):
+                   band_rows, capacity, interpret, n_cols=1):
     """g_sumlog (B, P) -> g_fvi (B, F, 3, 2) via the Pallas moment kernel +
     jax.vjp through the XLA coefficient precompute."""
     B, F = fvi.shape[0], fvi.shape[1]
     n_bands = height // band_rows
-    npix = band_rows * width
+    cell_w = width // n_cols
+    n_cells = n_bands * n_cols
+    npix = band_rows * cell_w
     rows = jax.vmap(_face_rows)(fvi, fz, fnz)              # (B, F+1, R_PLAIN)
     lists, _ = jax.vmap(
-        lambda v, n: _bin_lists(v, n, n_bands, capacity))(fvi, fnz)
-    banded = jax.vmap(lambda r, l: r[l])(rows, lists)      # (B, NB, K, R)
-    rowsT = jnp.transpose(banded, (0, 1, 3, 2))            # (B, NB, R, K)
-    g_banded = g_sumlog.reshape(B, n_bands, npix, 1)
-    G = _bwd_call(rowsT, g_banded, K=capacity, n_bands=n_bands, npix=npix,
+        lambda v, n: _bin_lists(v, n, n_bands, capacity, n_cols))(fvi, fnz)
+    banded = jax.vmap(lambda r, l: r[l])(rows, lists)      # (B, NCELL, K, R)
+    rowsT = jnp.transpose(banded, (0, 1, 3, 2))            # (B, NCELL, R, K)
+    g_c = g_sumlog.reshape(B, n_bands, band_rows, n_cols, cell_w)
+    g_c = jnp.transpose(g_c, (0, 1, 3, 2, 4))              # cell-major
+    g_banded = g_c.reshape(B, n_cells, npix, 1)
+    G = _bwd_call(rowsT, g_banded, K=capacity, n_cells=n_cells, npix=npix,
                   width=width, height=height, sigmainv=sigmainv,
-                  interpret=interpret)                     # (B, NB, 16, K)
+                  interpret=interpret, n_cols=n_cols)      # (B, NCELL, 16, K)
 
     def per_image(G_i, lists_i, fvi_i):
         vals = jnp.transpose(G_i[:, :13, :], (0, 2, 1)).reshape(-1, 13)
@@ -430,39 +484,54 @@ def _soft_backward(fvi, fz, fnz, g_sumlog, *, sigmainv, height, width,
 
 
 # ------------------------------------------------------------- public: plain
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def _plain(fvi, fz, fnz, sigmainv, height, width, band_rows, capacity,
-           interpret):
+           interpret, n_cols):
     n_bands = height // band_rows
-    npix = band_rows * width
+    npix = band_rows * (width // n_cols)
     rows = jax.vmap(_face_rows)(fvi, fz, fnz)
     lists, dropped = jax.vmap(
-        lambda v, n: _bin_lists(v, n, n_bands, capacity))(fvi, fnz)
+        lambda v, n: _bin_lists(v, n, n_bands, capacity, n_cols))(fvi, fnz)
     banded = jax.vmap(lambda r, l: r[l])(rows, lists)
     idx, sumlog = _fwd_call(banded, K=capacity, n_bands=n_bands, npix=npix,
                             width=width, height=height, sigmainv=sigmainv,
-                            fused=False, interpret=interpret)
+                            fused=False, interpret=interpret, n_cols=n_cols)
     return idx, sumlog, dropped
 
 
 def _plain_fwd(fvi, fz, fnz, sigmainv, height, width, band_rows, capacity,
-               interpret):
+               interpret, n_cols):
     out = _plain(fvi, fz, fnz, sigmainv, height, width, band_rows, capacity,
-                 interpret)
+                 interpret, n_cols)
     return out, (fvi, fz, fnz)
 
 
-def _plain_bwd(sigmainv, height, width, band_rows, capacity, interpret, res,
-               cots):
+def _plain_bwd(sigmainv, height, width, band_rows, capacity, interpret,
+               n_cols, res, cots):
     fvi, fz, fnz = res
     _, g_sumlog, _ = cots
     g_fvi = _soft_backward(fvi, fz, fnz, g_sumlog, sigmainv=sigmainv,
                            height=height, width=width, band_rows=band_rows,
-                           capacity=capacity, interpret=interpret)
+                           capacity=capacity, interpret=interpret,
+                           n_cols=n_cols)
     return g_fvi, jnp.zeros_like(fz), jnp.zeros_like(fnz)
 
 
 _plain.defvjp(_plain_fwd, _plain_bwd)
+
+
+def _auto_cells(height, width):
+    """(band_rows, n_cols): cells of ~1024-2048 px with cell width >= 128.
+    The column split halves the worst-case per-cell face count (close
+    cameras) so the static capacity can stay tight."""
+    n_cols = max(1, width // 128)
+    while n_cols > 1 and width % n_cols:
+        n_cols //= 2
+    cell_w = width // n_cols
+    br = max(1, 1024 // cell_w)
+    while br > 1 and height % br:
+        br //= 2
+    return br, n_cols
 
 
 def _auto_band_rows(height, width):
@@ -473,7 +542,8 @@ def _auto_band_rows(height, width):
 
 
 def rasterize_plain_v4(fvi, fz, fnz, sigmainv=7000.0, height=256, width=256,
-                       band_rows=None, capacity=None, interpret=None):
+                       band_rows=None, capacity=None, interpret=None,
+                       n_cols=None):
     """Batched phase-1 rasterization (v4 kernel).
 
     fvi (B, F, 3, 2) NDC xy; fz (B, F, 3) camera z; fnz (B, F) normal z.
@@ -483,32 +553,37 @@ def rasterize_plain_v4(fvi, fz, fnz, sigmainv=7000.0, height=256, width=256,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     height, width = int(height), int(width)
-    if band_rows is None:
-        band_rows = _auto_band_rows(height, width)
+    if band_rows is None or n_cols is None:
+        abr, anc = _auto_cells(height, width)
+        band_rows = band_rows or abr
+        n_cols = n_cols or anc
     n_bands = height // band_rows
     if capacity is None:
-        capacity = default_capacity(fvi.shape[1], n_bands)
-    assert height % band_rows == 0 and (band_rows * width) % 128 == 0, (
-        "v4 kernel needs H %% band_rows == 0 and band_rows*W %% 128 == 0")
+        capacity = default_capacity(fvi.shape[1], n_bands * n_cols)
+    assert (height % band_rows == 0 and width % n_cols == 0
+            and (band_rows * (width // n_cols)) % 128 == 0), (
+        "v4 kernel needs H %% band_rows == 0 and cell npix %% 128 == 0")
     return _plain(fvi, fz, fnz, float(sigmainv), height, width,
-                  int(band_rows), int(capacity), bool(interpret))
+                  int(band_rows), int(capacity), bool(interpret),
+                  int(n_cols))
 
 
 # ------------------------------------------------------------- public: fused
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
 def _fused(fvi, fz, fnz, face_uvs, face_normals, sigmainv, height, width,
-           band_rows, capacity, interpret):
+           band_rows, capacity, interpret, n_cols):
     n_bands = height // band_rows
-    npix = band_rows * width
+    npix = band_rows * (width // n_cols)
     rows = jax.vmap(
         lambda v, z, n, fn: _face_rows(v, z, n, face_uvs, fn))(
         fvi, fz, fnz, face_normals)
     lists, dropped = jax.vmap(
-        lambda v, n: _bin_lists(v, n, n_bands, capacity))(fvi, fnz)
+        lambda v, n: _bin_lists(v, n, n_bands, capacity, n_cols))(fvi, fnz)
     banded = jax.vmap(lambda r, l: r[l])(rows, lists)
     idx, sumlog, u, v, nx, ny, nz = _fwd_call(
         banded, K=capacity, n_bands=n_bands, npix=npix, width=width,
-        height=height, sigmainv=sigmainv, fused=True, interpret=interpret)
+        height=height, sigmainv=sigmainv, fused=True, interpret=interpret,
+        n_cols=n_cols)
     soft = 1.0 - jnp.exp(sumlog)
     uv = jnp.stack([u, v], axis=-1)
     normal = jnp.stack([nx, ny, nz], axis=-1)
@@ -517,15 +592,15 @@ def _fused(fvi, fz, fnz, face_uvs, face_normals, sigmainv, height, width,
 
 
 def _fused_fwd(fvi, fz, fnz, face_uvs, face_normals, sigmainv, height, width,
-               band_rows, capacity, interpret):
+               band_rows, capacity, interpret, n_cols):
     out = _fused(fvi, fz, fnz, face_uvs, face_normals, sigmainv, height,
-                 width, band_rows, capacity, interpret)
+                 width, band_rows, capacity, interpret, n_cols)
     idx, soft = out[0], out[1]
     return out, (fvi, fz, fnz, face_uvs, face_normals, idx, soft)
 
 
-def _fused_bwd(sigmainv, height, width, band_rows, capacity, interpret, res,
-               cots):
+def _fused_bwd(sigmainv, height, width, band_rows, capacity, interpret,
+               n_cols, res, cots):
     from ..rasterize import _interpolate_selected, pixel_grid
 
     fvi, fz, fnz, face_uvs, face_normals, idx, soft = res
@@ -554,7 +629,8 @@ def _fused_bwd(sigmainv, height, width, band_rows, capacity, interpret, res,
     g_sumlog = g_soft * (soft - 1.0)
     g_fvi_s = _soft_backward(fvi, fz, fnz, g_sumlog, sigmainv=sigmainv,
                              height=height, width=width, band_rows=band_rows,
-                             capacity=capacity, interpret=interpret)
+                             capacity=capacity, interpret=interpret,
+                             n_cols=n_cols)
     return (g_fvi_a + g_fvi_s, jnp.zeros_like(fz), jnp.zeros_like(fnz),
             g_uvs, g_normals)
 
@@ -564,7 +640,7 @@ _fused.defvjp(_fused_fwd, _fused_bwd)
 
 def rasterize_fused_v4(fvi, fz, fnz, face_uvs, face_normals, sigmainv=7000.0,
                        height=256, width=256, band_rows=None, capacity=None,
-                       interpret=None):
+                       interpret=None, n_cols=None):
     """Batched fused rasterization: phase 1 + winner uv/normal selection in
     ONE kernel (no phase-2 gather pass on the forward path).
 
@@ -579,13 +655,16 @@ def rasterize_fused_v4(fvi, fz, fnz, face_uvs, face_normals, sigmainv=7000.0,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     height, width = int(height), int(width)
-    if band_rows is None:
-        band_rows = _auto_band_rows(height, width)
+    if band_rows is None or n_cols is None:
+        abr, anc = _auto_cells(height, width)
+        band_rows = band_rows or abr
+        n_cols = n_cols or anc
     n_bands = height // band_rows
     if capacity is None:
-        capacity = default_capacity(fvi.shape[1], n_bands)
-    assert height % band_rows == 0 and (band_rows * width) % 128 == 0, (
-        "v4 kernel needs H %% band_rows == 0 and band_rows*W %% 128 == 0")
+        capacity = default_capacity(fvi.shape[1], n_bands * n_cols)
+    assert (height % band_rows == 0 and width % n_cols == 0
+            and (band_rows * (width // n_cols)) % 128 == 0), (
+        "v4 kernel needs H %% band_rows == 0 and cell npix %% 128 == 0")
     return _fused(fvi, fz, fnz, face_uvs, face_normals, float(sigmainv),
                   height, width, int(band_rows), int(capacity),
-                  bool(interpret))
+                  bool(interpret), int(n_cols))

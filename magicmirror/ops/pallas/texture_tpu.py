@@ -35,7 +35,8 @@ _TP = 512  # pixels per tile (sublane axis of the tent-weight matmul)
 def _kernel(x_ref, y_ref, tex_ref, sel_ref, out_ref, *, Ht, Wt, C):
     y = y_ref[0]                                     # (TP, 1)
     x = x_ref[0]
-    ky = jax.lax.broadcasted_iota(jnp.float32, (1, Ht), 1)
+    # Mosaic's tpu.iota is integer-only — generate i32 and convert
+    ky = jax.lax.broadcasted_iota(jnp.int32, (1, Ht), 1).astype(jnp.float32)
     Wy = jax.nn.relu(1.0 - jnp.abs(y - ky)).astype(jnp.bfloat16)
     s = jnp.dot(Wy, tex_ref[0, 0], preferred_element_type=jnp.float32)
     jx = jax.lax.broadcasted_iota(jnp.int32, (1, Wt * C), 1) // C

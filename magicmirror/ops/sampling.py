@@ -202,6 +202,62 @@ def texture_mapping_mxu(texture_coordinates, texture_maps,
 import functools as _functools
 
 
+def texture_mapping_int8(texture_coordinates, texture_maps):
+    """Bilinear UV sampling with the ROW-selection matmul in int8 (2x MXU
+    rate vs bf16).  Tent weights quantize to 1/127 steps and 8-bit-sourced
+    textures to 1/255 exactly, so color error stays within one 8-bit LSB —
+    the same error class as the bf16 path.  Forward only (wrapped in a
+    custom VJP below; round() has no useful gradient)."""
+    uv = jnp.clip(texture_coordinates, 0.0, 1.0)
+    N, Hg, Wg, _ = uv.shape
+    Nt, Ht, Wt, C = texture_maps.shape
+    P = Hg * Wg
+    x = _unnormalize(uv[..., 0].reshape(N, P) * 2.0 - 1.0, Wt, False)
+    y = _unnormalize(-(uv[..., 1].reshape(N, P) * 2.0 - 1.0), Ht, False)
+
+    def weights_q(coord, size):
+        iota = jnp.arange(size, dtype=jnp.float32)
+        w = jax.nn.relu(1.0 - jnp.abs(coord[..., None] - iota[None, None, :]))
+        return jnp.round(w * 127.0).astype(jnp.int8)
+
+    tq = jnp.round(jnp.clip(texture_maps, 0.0, 1.0) * 127.0).astype(jnp.int8)
+
+    def chunk_fn(args):
+        xc, yc, tc = args
+        Wyq = weights_q(yc[None], Ht)[0]
+        tqr = tc.reshape(Ht, Wt * C)
+        s1 = jax.lax.dot(Wyq, tqr, preferred_element_type=jnp.int32)
+        s1 = (s1.astype(jnp.float32) * (1.0 / (127.0 * 127.0))
+              ).reshape(P, Wt, C).astype(jnp.bfloat16)
+        iota = jnp.arange(Wt, dtype=jnp.float32)
+        Wx = jax.nn.relu(
+            1.0 - jnp.abs(xc[:, None] - iota[None, :])).astype(jnp.bfloat16)
+        return jnp.einsum("px,pxc->pc", Wx, s1,
+                          preferred_element_type=jnp.float32)
+
+    out = jax.lax.map(chunk_fn, (x, y, tq))
+    return out.reshape(N, Hg, Wg, C)
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _texture_int8_vjp(texture_coordinates, texture_maps):
+    return texture_mapping_int8(texture_coordinates, texture_maps)
+
+
+def _texture_int8_fwd(texture_coordinates, texture_maps):
+    return (_texture_int8_vjp(texture_coordinates, texture_maps),
+            (texture_coordinates, texture_maps))
+
+
+def _texture_int8_bwd(res, g):
+    uv, tex = res
+    _, vjp = jax.vjp(texture_mapping_mxu, uv, tex)
+    return vjp(g)
+
+
+_texture_int8_vjp.defvjp(_texture_int8_fwd, _texture_int8_bwd)
+
+
 @_functools.partial(jax.custom_vjp, nondiff_argnums=())
 def _texture_pallas_vjp(texture_coordinates, texture_maps):
     from .pallas.texture_tpu import texture_bilinear_pallas
@@ -232,17 +288,24 @@ def texture_mapping(texture_coordinates, texture_maps, mode: str = "bilinear"):
     texture_coordinates: (B, H, W, 2); texture_maps: (B, Ht, Wt, C) NHWC.
     Returns (B, H, W, C).
 
-    On TPU at large pixel counts the bilinear path runs the fused Pallas
-    kernel (ops/pallas/texture_tpu.py — tent weights generated in VMEM, both
-    contractions on the MXU, no HBM intermediates); its backward goes
-    through :func:`texture_mapping_mxu`, whose transposed matmuls XLA
-    derives.  Elsewhere a quad-packed single gather (one gather of 4C values
-    per pixel instead of four).
+    On TPU at large pixel counts the bilinear path runs
+    :func:`texture_mapping_mxu` (tent-weight matmuls with exact-tile
+    operands).  The fused Pallas variant (ops/pallas/texture_tpu.py) is
+    selectable via MAGICMIRROR_TEX_PALLAS=1 but measured SLOWER on v5e
+    (706 vs 1405 fps end-to-end at 256^2 b32): per-tile (512,512)x(512,768)
+    matmuls under a 4096-step grid pipeline worse than XLA's single big
+    contraction, and the in-kernel weight generation doesn't overlap the
+    MXU enough.  Elsewhere a quad-packed single gather (one gather of 4C
+    values per pixel instead of four).
     """
+    import os as _os
+
     P = texture_coordinates.shape[1] * texture_coordinates.shape[2]
     if mode == "bilinear" and jax.default_backend() == "tpu" and P >= 16384:
-        if P % 512 == 0:
+        if P % 512 == 0 and _os.environ.get("MAGICMIRROR_TEX_PALLAS") == "1":
             return _texture_pallas_vjp(texture_coordinates, texture_maps)
+        if _os.environ.get("MAGICMIRROR_TEX_INT8") == "1":
+            return _texture_int8_vjp(texture_coordinates, texture_maps)
         return texture_mapping_mxu(texture_coordinates, texture_maps)
     uv = jnp.clip(texture_coordinates, 0.0, 1.0)
     grid_x = uv[..., 0] * 2.0 - 1.0

@@ -126,10 +126,11 @@ class DiffRender:
         dropped = None
         use_v4 = False
         if self.backend == "pallas" and self.soft_mode == "line":
-            from ..ops.pallas.rasterize_v4 import _auto_band_rows
+            from ..ops.pallas.rasterize_v4 import _auto_cells
 
-            br = _auto_band_rows(H, W)
-            use_v4 = H % br == 0 and (br * W) % 128 == 0
+            br, nc = _auto_cells(H, W)
+            use_v4 = (H % br == 0 and W % nc == 0
+                      and (br * (W // nc)) % 128 == 0)
         if use_v4:
             # v4 fused kernel: phase 1 + winner uv/normal selection in ONE
             # Pallas launch, batched natively (no per-image map, no phase-2

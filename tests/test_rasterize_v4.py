@@ -139,26 +139,66 @@ def test_overflow_counter(scene):
     assert np.all(np.asarray(d0) == 0)
 
 
-def test_default_capacity_covers_close_cameras(scene):
-    """The auto capacity heuristic (3x uniform share) must be lossless over
-    the training camera range (dist_range 2~7, reference train.py flag)."""
+def _close_camera_scene(n=8, seed=3, deform=0.08):
     mesh = load_obj("template/sphere.obj", with_materials=True)
     v = mesh_ops.normalize_template(mesh.vertices, 1.0)
     faces = mesh.faces.astype(np.int32)
     proj = cam.perspective_projection(math.atan(1.0 / 2.5) * 2, ratio=1.0)
-    n = 6
-    dists = jnp.asarray([2.0, 2.0, 3.0, 4.5, 6.0, 7.0], jnp.float32)
-    elevs = jnp.asarray([0.0, 30.0, 15.0, 5.0, 25.0, 10.0], jnp.float32)
-    azims = jnp.asarray([0.0, 90.0, 180.0, -90.0, 45.0, -135.0], jnp.float32)
-    cpos = cam.camera_position_from_spherical_angles(dists, elevs, azims,
-                                                     degrees=True)
+    rng = np.random.RandomState(seed)
+    dists = jnp.asarray([2.0] * (n // 2) + list(rng.uniform(2, 7, n - n // 2)),
+                        jnp.float32)
+    cpos = cam.camera_position_from_spherical_angles(
+        dists, jnp.asarray(rng.uniform(0, 30, n), jnp.float32),
+        jnp.asarray(rng.uniform(-180, 180, n), jnp.float32), degrees=True)
     tr = cam.generate_transformation_matrix(
         cpos, jnp.zeros((n, 3), jnp.float32),
         jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0], jnp.float32), (n, 3)))
-    verts = jnp.broadcast_to(jnp.asarray(v, jnp.float32)[None],
-                             (n,) + v.shape)
+    verts = jnp.asarray(v[None] + rng.uniform(-deform, deform,
+                                              (n,) + v.shape), jnp.float32)
     _, fvi, fn = cam.prepare_vertices(verts, jnp.asarray(faces), proj, tr)
     fz = jnp.zeros((n, faces.shape[0], 3), jnp.float32)
-    _, _, dropped = rasterize_plain_v4(fvi, fz, fn[:, :, 2], height=H,
-                                       width=W)
+    return fvi, fz, fn[:, :, 2]
+
+
+def test_default_capacity_covers_close_cameras():
+    """The auto capacity must be lossless at the CLOSEST training camera
+    (dist_range 2~7) with deformed vertices, at every auto cell config —
+    the round-1 silent-drop failure mode (VERDICT weak #4)."""
+    fvi, fz, fnz = _close_camera_scene()
+    for size in (64, 128, 256):
+        _, _, dropped = rasterize_plain_v4(fvi, fz, fnz, height=size,
+                                           width=size)
+        assert np.all(np.asarray(dropped) == 0), size
+
+
+def test_column_binning_matches_golden(scene):
+    """Forced 2-column cells: forward + gradient parity with golden."""
+    fvi, fz, fnz, F = scene["fvi"], scene["fz"], scene["fnz"], scene["F"]
+    attrs = [jnp.ones((B, F, 3, 1), jnp.float32)]
+    _, soft_g, idx_g = dibr_rasterization(H, W, fz, fvi, attrs, fnz,
+                                          soft_mode="line")
+    idx, sumlog, dropped = rasterize_plain_v4(fvi, fz, fnz, height=H,
+                                              width=W, band_rows=4, n_cols=2)
     assert np.all(np.asarray(dropped) == 0)
+    assert np.array_equal(np.asarray(idx.reshape(B, H, W)), np.asarray(idx_g))
+    soft = (1.0 - jnp.exp(sumlog)).reshape(B, H, W)
+    np.testing.assert_allclose(np.asarray(soft), np.asarray(soft_g),
+                               atol=3e-4)
+
+    rng = np.random.RandomState(5)
+    w = jnp.asarray(rng.randn(B, H * W), jnp.float32)
+
+    def loss_v4(fvi_):
+        _, sl, _ = rasterize_plain_v4(fvi_, fz, fnz, height=H, width=W,
+                                      band_rows=4, n_cols=2)
+        return jnp.sum((1.0 - jnp.exp(sl)) * w)
+
+    def loss_g(fvi_):
+        _, s, _ = dibr_rasterization(H, W, fz, fvi_, attrs, fnz,
+                                     soft_mode="line")
+        return jnp.sum(s.reshape(B, -1) * w)
+
+    g_v = jax.grad(loss_v4)(fvi)
+    g_g = jax.grad(loss_g)(fvi)
+    scale = float(jnp.max(jnp.abs(g_g)))
+    assert float(jnp.max(jnp.abs(g_g - g_v))) < 1e-4 * scale
