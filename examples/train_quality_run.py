@@ -36,6 +36,7 @@ def main():
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--eval_every", type=int, default=100)
+    ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--out", default="RESULTS")
     args = ap.parse_args()
 
@@ -84,12 +85,16 @@ def main():
         att = netE.apply(
             {"params": state.params_e, "batch_stats": state.stats_e},
             Xa, state.template, lpl, 0, train=False)
-        rgba, _ = dr.render(**att)
+        rgba, att = dr.render(**att)
         pred_rgb, pred_mask = rgba[..., :3], rgba[..., 3]
         gt_rgb, gt_mask = Xa[..., :3], Xa[..., 3]
         white = gt_rgb * gt_mask[..., None] + (1 - gt_mask[..., None])
+        diag = dict(dist=jnp.mean(att["distances"]),
+                    elev=jnp.mean(att["elevations"]),
+                    mask=jnp.mean(pred_mask),
+                    dmax=jnp.max(jnp.abs(att["delta_vertices"])))
         return (ssim(pred_rgb, white), mask_iou_metric(pred_mask, gt_mask),
-                rgba)
+                rgba, diag)
 
     os.makedirs(args.out, exist_ok=True)
     csv_path = os.path.join(args.out, "curves.csv")
@@ -99,17 +104,21 @@ def main():
     for i in range(args.steps):
         rng, sub = jax.random.split(rng)
         warm = min(1.0, 0.01 + i / 50.0)
-        lr = 3e-4 * (0.5 * (1 + np.cos(np.pi * i / args.steps)))
+        lr = args.lr * (0.5 * (1 + np.cos(np.pi * i / args.steps)))
         state, metrics, Xer, _ = step(
             state, train_batches[i % len(train_batches)], sub,
             lr, lr, warm, 0)
         if i % args.eval_every == 0 or i == args.steps - 1:
-            s, iou, rgba = eval_metrics(state, eval_batch)
+            s, iou, rgba, diag = eval_metrics(state, eval_batch)
             row = dict(step=i, wall_s=round(time.time() - t0, 1),
                        ssim=round(float(s), 4), mask_iou=round(float(iou), 4),
                        lossR_data=round(float(metrics["lossR_data"]), 4),
                        lossD=round(float(metrics["lossD"]), 5),
-                       dropped=int(float(metrics.get("dropped_faces", 0.0))))
+                       dropped=int(float(metrics.get("dropped_faces", 0.0))),
+                       dist=round(float(diag["dist"]), 2),
+                       elev=round(float(diag["elev"]), 1),
+                       mask=round(float(diag["mask"]), 3),
+                       dmax=round(float(diag["dmax"]), 3))
             rows.append(row)
             print(" ".join(f"{k}={v}" for k, v in row.items()), flush=True)
             with open(csv_path, "w", newline="") as fp:
@@ -118,7 +127,7 @@ def main():
                 w.writerows(rows)
 
     # final artifacts: eval-set reconstruction grid + predicted mesh
-    s, iou, rgba = eval_metrics(state, eval_batch)
+    s, iou, rgba, _ = eval_metrics(state, eval_batch)
     n = min(8, args.batch)
     gt = np.asarray(eval_batch[:n, :, :, :3])
     gtm = np.asarray(eval_batch[:n, :, :, 3:4])
