@@ -33,17 +33,23 @@ def ssim(img1, img2, data_range: float = 1.0, window_size: int = 11,
         kernel = kernel.at[:, :, c, c].set(win)
 
     def filt(x):
+        # fp32 convolution: TPU convs default to bf16 multiplies, and the
+        # var = E[x^2] - E[x]^2 cancellation then yields NEGATIVE window
+        # variances large enough to flip the SSIM denominator sign (observed
+        # "SSIM = -11.9" on chip); HIGHEST keeps the filter exact in fp32
         return jax.lax.conv_general_dilated(
             x, kernel, window_strides=(1, 1), padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST)
 
     C1 = (K[0] * data_range) ** 2
     C2 = (K[1] * data_range) ** 2
     mu1 = filt(img1)
     mu2 = filt(img2)
     mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = filt(img1 * img1) - mu1_sq
-    sigma2_sq = filt(img2 * img2) - mu2_sq
+    # clamp tiny negative residual variances (fp32 cancellation floor)
+    sigma1_sq = jnp.maximum(filt(img1 * img1) - mu1_sq, 0.0)
+    sigma2_sq = jnp.maximum(filt(img2 * img2) - mu2_sq, 0.0)
     sigma12 = filt(img1 * img2) - mu12
     ssim_map = ((2 * mu12 + C1) * (2 * sigma12 + C2)) / (
         (mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2))
