@@ -67,7 +67,8 @@ def main():
         # encoder + ALL renders (the e_outputs forward), value only
         variables = {"params": params_e, "batch_stats": stats_e}
         att, _ = netE.apply(variables, Xa, template, lpl, 0, train=True,
-                            mutable=["batch_stats"])
+                            mutable=["batch_stats"],
+                            rngs={"dropout": rng})
         rgba, att = dr.render(**att)
         return rgba
 
@@ -80,7 +81,8 @@ def main():
         def loss(p):
             v = {"params": p, "batch_stats": stats_e}
             att, _ = netE.apply(v, Xa, template, lpl, 0, train=True,
-                                mutable=["batch_stats"])
+                                mutable=["batch_stats"],
+                                rngs={"dropout": jax.random.PRNGKey(0)})
             rgba, _ = dr.render(**att)
             return jnp.sum(rgba ** 2) * 1e-3
 

@@ -40,8 +40,10 @@ def main():
     state = create_train_state(jax.random.PRNGKey(0), netE, netD, opt_e,
                                opt_d, jnp.zeros((B, S, S, 4)),
                                dr.vertices_init, lpl)
+    # donate=True is what the real trainer runs (train/trainer.py):
+    # donated buffers let XLA reuse the 30M-param state in place
     step = make_train_step(opt, dr, netE, netD, opt_e, opt_d, lpl,
-                           donate=False)
+                           donate=True)
     rs = np.random.RandomState(0)
     Xa = jnp.asarray(rs.rand(B, S, S, 4).astype(np.float32))
     rng = jax.random.PRNGKey(0)
