@@ -523,14 +523,19 @@ _plain.defvjp(_plain_fwd, _plain_bwd)
 def _auto_cells(height, width):
     """(band_rows, n_cols): cells of ~1024-2048 px with cell width >= 128.
     The column split halves the worst-case per-cell face count (close
-    cameras) so the static capacity can stay tight."""
+    cameras) so the static capacity can stay tight.  Env overrides
+    MAGICMIRROR_BAND_ROWS / MAGICMIRROR_N_COLS exist for tuning sweeps."""
+    import os
+
     n_cols = max(1, width // 128)
     while n_cols > 1 and width % n_cols:
         n_cols //= 2
+    n_cols = int(os.environ.get("MAGICMIRROR_N_COLS", n_cols))
     cell_w = width // n_cols
     br = max(1, 1024 // cell_w)
     while br > 1 and height % br:
         br //= 2
+    br = int(os.environ.get("MAGICMIRROR_BAND_ROWS", br))
     return br, n_cols
 
 
