@@ -114,9 +114,11 @@ def build_parser(defaults: dict | None = None) -> argparse.ArgumentParser:
       help="soft-silhouette distance: 'line' (v4 fused Pallas kernel, the "
            "fast default) or 'exact' (kaolin segment distances)")
     a("--band_capacity", type=int, default=0,
-      help="static per-band face capacity of the banded rasterizer; 0 = "
-           "auto (3x uniform share).  Overflow is counted per step and "
-           "logged — raise this if dropped_faces > 0")
+      help="static per-cell face capacity of the banded rasterizer; 0 = "
+           "auto (4x the uniform share, floor 160, rounded up to 8 — see "
+           "rasterize_v4.default_capacity; MAGICMIRROR_BAND_CAPACITY also "
+           "overrides).  Overflow is counted per step and logged — raise "
+           "this if dropped_faces > 0")
     a("--raster_backend", type=str, default="auto",
       choices=["auto", "pallas", "pallas_v3", "xla"],
       help="rasterizer backend; auto = pallas on TPU, xla elsewhere")

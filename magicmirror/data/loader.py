@@ -51,8 +51,12 @@ class DataLoader:
     def _num_samples(self):
         n = len(self.dataset)
         if self.shard is not None:
-            rank, count = self.shard
-            n = (n - rank + count - 1) // count
+            # every rank sees EXACTLY n // count samples: in multi-host SPMD
+            # each train/eval step is a collective over the global mesh, so
+            # ranks must agree on the number of batches — a rank with one
+            # extra sample (n % count != 0) would run an extra step and
+            # deadlock the cluster
+            n = n // self.shard[1]
         return n
 
     def __len__(self):
@@ -69,7 +73,7 @@ class DataLoader:
             rng.shuffle(idx)
         if self.shard is not None:
             rank, count = self.shard
-            idx = idx[rank::count]
+            idx = idx[rank::count][:self._num_samples()]
         nb = len(self)
         for b in range(nb):
             chunk = idx[b * self.batch_size:(b + 1) * self.batch_size]

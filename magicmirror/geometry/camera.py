@@ -92,12 +92,19 @@ def prepare_vertices(vertices, faces, camera_proj, camera_transform):
     # ``faces`` is static under jit, so the one-hot constant-folds; HIGHEST
     # precision keeps the copy exact (single 1.0 per row).
     V = vertices_camera.shape[1]
-    onehot = (faces.reshape(-1)[:, None] ==
-              jnp.arange(V, dtype=faces.dtype)[None, :]).astype(jnp.float32)
     both = jnp.concatenate([vertices_camera, vertices_image], axis=-1)
-    fb = jnp.einsum("fv,bvc->bfc", onehot, both,
-                    precision=jax.lax.Precision.HIGHEST)
-    fb = fb.reshape(fb.shape[0], faces.shape[0], 3, 5)
+    if 3 * faces.shape[0] * V <= 64 * 1024 * 1024:
+        onehot = (faces.reshape(-1)[:, None] ==
+                  jnp.arange(V, dtype=faces.dtype)[None, :]).astype(jnp.float32)
+        fb = jnp.einsum("fv,bvc->bfc", onehot, both,
+                        precision=jax.lax.Precision.HIGHEST)
+        fb = fb.reshape(fb.shape[0], faces.shape[0], 3, 5)
+    else:
+        # the dense one-hot is O(3F*V) fp32 — 1.1 GB at SMPL scale
+        # (3*13776*6890*4B); above the threshold fall back to the plain
+        # gather, which is slower per row but memory-sane
+        fb = both[:, faces.reshape(-1), :].reshape(
+            both.shape[0], faces.shape[0], 3, 5)
     face_vertices_camera = fb[..., :3]  # (B, F, 3, 3)
     face_vertices_image = fb[..., 3:5]  # (B, F, 3, 2)
     face_normals = face_normals_from_vertices(face_vertices_camera, unit=True)

@@ -10,8 +10,19 @@ lowers the gathers efficiently; no scatter, no dynamic shapes.  Layout is NHWC
 """
 from __future__ import annotations
 
+import os as _os
+
 import jax
 import jax.numpy as jnp
+
+# experiment toggles, read ONCE at import: these select among mathematically
+# equivalent bilinear formulations inside jitted code, so flipping them after
+# the first compile would be silently ignored — latching at import makes the
+# semantics explicit (see docs/DESIGN.md "Measured dead ends" for why both
+# default off)
+_TEX_PALLAS = _os.environ.get("MAGICMIRROR_TEX_PALLAS") == "1"
+_TEX_INT8 = _os.environ.get("MAGICMIRROR_TEX_INT8") == "1"
+_TEX_CHUNK = int(_os.environ.get("MAGICMIRROR_TEX_CHUNK", "1"))
 
 
 def _unnormalize(coord, size: int, align_corners: bool):
@@ -145,10 +156,8 @@ def texture_mapping_mxu(texture_coordinates, texture_maps,
     before the bf16 cast; colors are 8-bit-bounded so bf16 is lossless in
     practice.  Batch is chunked to bound the (P, Ht) weight materialization.
     """
-    import os as _os
-
     if batch_chunk is None:
-        batch_chunk = int(_os.environ.get("MAGICMIRROR_TEX_CHUNK", "1"))
+        batch_chunk = _TEX_CHUNK
     uv = jnp.clip(texture_coordinates, 0.0, 1.0)
     N, Hg, Wg, _ = uv.shape
     Nt, Ht, Wt, C = texture_maps.shape
@@ -204,10 +213,11 @@ import functools as _functools
 
 def texture_mapping_int8(texture_coordinates, texture_maps):
     """Bilinear UV sampling with the ROW-selection matmul in int8 (2x MXU
-    rate vs bf16).  Tent weights quantize to 1/127 steps and 8-bit-sourced
-    textures to 1/255 exactly, so color error stays within one 8-bit LSB —
-    the same error class as the bf16 path.  Forward only (wrapped in a
-    custom VJP below; round() has no useful gradient)."""
+    rate vs bf16).  Tent weights and textures both quantize to 1/127 steps
+    (8-bit-sourced texel values land within half a step), so color error
+    stays within one 8-bit LSB — the same error class as the bf16 path.
+    Forward only (wrapped in a custom VJP below; round() has no useful
+    gradient)."""
     uv = jnp.clip(texture_coordinates, 0.0, 1.0)
     N, Hg, Wg, _ = uv.shape
     Nt, Ht, Wt, C = texture_maps.shape
@@ -298,13 +308,11 @@ def texture_mapping(texture_coordinates, texture_maps, mode: str = "bilinear"):
     MXU enough.  Elsewhere a quad-packed single gather (one gather of 4C
     values per pixel instead of four).
     """
-    import os as _os
-
     P = texture_coordinates.shape[1] * texture_coordinates.shape[2]
     if mode == "bilinear" and jax.default_backend() == "tpu" and P >= 16384:
-        if P % 512 == 0 and _os.environ.get("MAGICMIRROR_TEX_PALLAS") == "1":
+        if P % 512 == 0 and _TEX_PALLAS:
             return _texture_pallas_vjp(texture_coordinates, texture_maps)
-        if _os.environ.get("MAGICMIRROR_TEX_INT8") == "1":
+        if _TEX_INT8:
             return _texture_int8_vjp(texture_coordinates, texture_maps)
         return texture_mapping_mxu(texture_coordinates, texture_maps)
     uv = jnp.clip(texture_coordinates, 0.0, 1.0)

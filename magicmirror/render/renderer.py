@@ -50,8 +50,10 @@ class DiffRender:
         # (the 'exact'/'line' difference is confined to corner Voronoi
         # regions and is invisible at sigmainv=7000)
         self.soft_mode = soft_mode
-        # static per-band face capacity of the banded Pallas kernels; None =
-        # auto (3x the uniform share).  Overflow is REPORTED per image in
+        # static per-cell face capacity of the banded Pallas kernels; None =
+        # auto (4x the uniform share with a floor of 160, rounded up to the
+        # 8-face chunk — rasterize_v4.default_capacity; env
+        # MAGICMIRROR_BAND_CAPACITY overrides).  Overflow is REPORTED per image in
         # attributes['dropped_faces'] — assert/log it rather than trusting
         # silently capped bins
         self.band_capacity = band_capacity

@@ -254,6 +254,12 @@ def trainer(opt, train_dataloader, test_dataloader, train_noaug_dataloader):
     summary = SummaryLogger(os.path.join(outf, "logs"))
     result = ResultLog(os.path.join(outf, "result.txt"))
 
+    # multi-host: every process runs the sharded train/eval compute, but only
+    # process 0 writes artifacts (grids, gifs, result.txt, checkpoints) and
+    # makes the best-checkpoint decision — concurrent writers would clobber
+    # each other and per-process metrics could diverge
+    is_main = jax.process_index() == 0
+
     best_fid = 9999.0
     warm_up = 0.01
     warm_iteration = len(train_dataloader) * opt.warm_epoch
@@ -305,7 +311,7 @@ def trainer(opt, train_dataloader, test_dataloader, train_noaug_dataloader):
             state = state.replace(swa_stats=new_swa_stats)
 
         # ---- periodic artifacts (reference trainer.py:546-671)
-        if epoch % 10 == 0 and last_batch is not None:
+        if epoch % 10 == 0 and last_batch is not None and is_main:
             Xa_np = np.asarray(last_batch)
             Xer_np = np.asarray(last_Xer)
             Xir_np = np.asarray(last_Xir)
@@ -364,8 +370,17 @@ def trainer(opt, train_dataloader, test_dataloader, train_noaug_dataloader):
                             else [False]):
                 tag = " (SWA)" if use_swa else ""
                 print("===========Generating Test Images%s===========" % tag)
+                # every process renders+saves its own disjoint test shard
+                # (filenames are disjoint); process 0 then computes the file
+                # metrics over the union and owns the checkpoint decision
                 run_test_eval(opt, state, eval_step, test_dataloader, dirs,
                               epoch, use_swa=use_swa)
+                if jax.process_count() > 1:
+                    from jax.experimental import multihost_utils
+
+                    multihost_utils.sync_global_devices("eval_images_saved")
+                if not is_main:
+                    continue
                 print("===========Evaluating SSIM & MaskIoU===========")
                 s, iou = file_metrics(opt, dirs)
                 print("Test recon ssim: %0.3f" % s)
@@ -423,6 +438,20 @@ def trainer(opt, train_dataloader, test_dataloader, train_noaug_dataloader):
             if all_v:
                 all_v = np.concatenate(all_v)
                 all_d = np.concatenate(all_d)
+                if jax.process_count() > 1:
+                    # the noaug loader is sharded per process: gather every
+                    # shard's encodings so select_delta sees the full train
+                    # set and all ranks apply the IDENTICAL template update
+                    # (per-shard selections would silently diverge the
+                    # replicated train state across hosts)
+                    from jax.experimental import multihost_utils
+
+                    all_v = np.asarray(
+                        multihost_utils.process_allgather(all_v)
+                    ).reshape((-1,) + all_v.shape[1:])
+                    all_d = np.asarray(
+                        multihost_utils.process_allgather(all_d)
+                    ).reshape((-1,) + all_d.shape[1:])
                 sum_delta, count = select_delta(all_v, all_d, opt,
                                                 diffRender.num_vertices)
                 print("The template mesh fuses %d / %d meshes" % (count, len(all_v)))

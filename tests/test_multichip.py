@@ -53,7 +53,11 @@ class _ToyDataset:
 
 def test_sharded_loader_partitions_disjointly():
     """Multi-host data split (VERDICT round-1 item 8): per-process strided
-    shards cover the dataset exactly once and agree on the shuffled order."""
+    shards are disjoint, agree on the shuffled order, and — the ADVICE
+    round-2 deadlock fix — every rank sees EXACTLY n // count samples so all
+    ranks run the same number of (collective) steps.  The n % count
+    remainder samples are dropped for that epoch (reshuffled epochs rotate
+    which ones)."""
     from magicmirror.data.loader import DataLoader
 
     n, count = 37, 4
@@ -63,17 +67,38 @@ def test_sharded_loader_partitions_disjointly():
                         num_workers=1, seed=7, shard=(rank, count))
         dl._epoch = 1
         ids = [i for chunk in dl._batches() for i in chunk]
+        assert len(ids) == n // count  # identical per-rank sample count
         seen.append(ids)
     flat = sorted(i for ids in seen for i in ids)
-    assert flat == list(range(n))
+    assert len(flat) == len(set(flat))  # disjoint
+    assert (n // count) * count == len(flat)
     # identical global order: interleaving the shards reproduces one
-    # unsharded shuffle
+    # unsharded shuffle (truncated to the common per-rank length)
     dl0 = DataLoader(_ToyDataset(n), batch_size=3, shuffle=True,
                      num_workers=1, seed=7)
     dl0._epoch = 1
     full = [i for chunk in dl0._batches() for i in chunk]
     for rank in range(count):
-        assert seen[rank] == full[rank::count]
+        assert seen[rank] == full[rank::count][:n // count]
+
+
+def test_sharded_loader_equal_batch_counts():
+    """ADVICE round-2 (medium): n=9, count=2, bs=5 with drop_last used to
+    give rank0 one step and rank1 zero — a guaranteed multi-host deadlock
+    (each step is a collective).  Every rank must expose the same len()."""
+    from magicmirror.data.loader import DataLoader
+
+    for n, count, bs, drop in ((9, 2, 5, True), (9, 2, 5, False),
+                               (10, 3, 2, True), (7, 4, 1, False)):
+        lens = set()
+        for rank in range(count):
+            dl = DataLoader(_ToyDataset(n), batch_size=bs, shuffle=True,
+                            num_workers=1, drop_last=drop, seed=3,
+                            shard=(rank, count))
+            dl._epoch = 1
+            assert len(list(dl._batches())) == len(dl)
+            lens.add(len(dl))
+        assert len(lens) == 1, (n, count, bs, drop, lens)
 
 
 def test_global_batch_semantics_on_mesh():
