@@ -1,0 +1,360 @@
+"""Ragged cell-windowed texture sampling — the candidate-set reduction of
+the tent-matmul UV sampler (docs/DESIGN.md round-3 lever 1).
+
+The dense MXU formulation (ops/sampling.py::texture_mapping_mxu) multiplies
+a (P, Ht) tent-weight matrix that is 99.6% structural zeros into the texture
+and materializes a (P, Wt*C) intermediate in HBM (3.2 GB bf16 at 256^2 b32).
+Per (8x128)-pixel cell, though, the covered pixels' bilinear taps touch only
+a handful of 32-texel-row blocks (measured on the sphere template across the
+training camera range: p50 = 3 blocks, p99 = 10, max = 16 of 16 — see
+benchmarks/measure_uv_blocks.py).  This kernel exploits that:
+
+  * XLA side: per cell, find the touched 32-row blocks of the texture
+    (bitmask -> sorted list) and emit a flattened, cell-major stream of
+    chunks, each naming up to 4 blocks (a K = 128 window).  Mean live
+    chunks per image ~58 vs 256 dense at 256^2 — the FLOP cut.
+  * Pallas side: grid over images.  The whole bf16 texture, the cell-major
+    y/x pixel coordinates, and the output live in VMEM.  One dynamic-bound
+    ``fori_loop`` walks the image's live chunks (ONE pipeline flush per
+    image, not per cell — the v4 lesson): build the (128, npix) tent-weight
+    tile for the chunk's rows, dynamic-slice the 4 texture blocks, one
+    MXU contraction per channel into a per-cell (Wt, npix) accumulator.
+    On the cell's last chunk, the x-axis tent contraction runs IN-KERNEL
+    (VPU sublane reduction) — the (P, Wt*C) intermediate never exists.
+  * Exactness: a pixel whose taps fall outside its cell's selected blocks
+    is impossible by construction (blocks are derived from those very taps).
+    Stream overflow past the static chunk capacity is counted and the
+    caller falls back to the dense path via ``lax.cond`` — the result is
+    ALWAYS exact; capacity only decides which formulation runs.
+
+Background (mask == 0) pixels output EXACTLY 0 (their y is parked at a far
+sentinel), i.e. the kernel computes ``texture_mapping(uv) * mask`` — which
+is the only form the renderer consumes (reference networks.py:307-313
+multiplies texcolor by the coverage mask).  Gradients route through the
+mathematically-identical masked XLA formulation via ``jax.custom_vjp``.
+
+Reference semantics target: kaolin ``texture_mapping`` bilinear, as called
+at reference networks.py:305.
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BS = 32        # texel rows per block
+BPC = 4        # blocks per chunk -> K = BS * BPC = 128
+_FAR_Y = -1.0e6    # y sentinel for uncovered pixels (weights vanish)
+_FAR_ROW = 1.0e7   # row sentinel for invalid block slots (weights vanish)
+
+# latched at import (trace-time env reads are silently sticky under jit):
+# "1" forces the cell path on (interpret mode off-TPU — for tests),
+# "0" forces it off, unset = on when the backend is TPU
+_FORCE = os.environ.get("MAGICMIRROR_TEX_CELLS")
+
+
+def enabled() -> bool:
+    """Whether the renderer should route masked texture sampling here."""
+    if _FORCE == "1":
+        return True
+    if _FORCE == "0":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def cell_shape(height: int, width: int):
+    """(cell_h, cell_w): ~1024-pixel cells, cell width <= 128."""
+    cw = min(width, 128)
+    ch = max(1, 1024 // cw)
+    while ch > 1 and height % ch:
+        ch //= 2
+    return ch, cw
+
+
+def default_chunk_capacity(n_cells: int) -> int:
+    """Static per-image chunk capacity: 2x the cell count covers the
+    adversarial camera sweep with ~25% headroom (worst measured 101 live
+    chunks at 64 cells, benchmarks/measure_uv_blocks.py); overflow is
+    counted and the caller falls back to the dense path (still exact).
+    Env MAGICMIRROR_TEX_CAP overrides."""
+    env = os.environ.get("MAGICMIRROR_TEX_CAP")
+    if env:
+        return int(env)
+    return 2 * n_cells
+
+
+def _build_chunks(yc, mask_c, Ht: int, tcap: int):
+    """Flattened cell-major chunk stream from cell-layout tap rows.
+
+    yc: (B, NC, npix) f32 texel-row coordinate; mask_c: (B, NC, npix) bool.
+    Returns (pk1, pk2, nlive, dropped):
+      pk1 (B, tcap) i32: cell | first << 16 | last << 17
+      pk2 (B, tcap) i32: 4 x 5-bit block ids (NBLK == invalid)
+      nlive (B,) i32 live chunk count (<= tcap), dropped (B,) i32 overflow.
+    """
+    B, NC, npix = yc.shape
+    NBLK = Ht // BS
+    assert NBLK <= 31, "5-bit block packing needs Ht/32 <= 31"
+    maxc = -(-NBLK // BPC)
+
+    r0 = jnp.clip(jnp.floor(yc), 0, Ht - 1)
+    r1 = jnp.clip(jnp.floor(yc) + 1, 0, Ht - 1)
+    b0 = (r0 // BS).astype(jnp.int32)
+    b1 = (r1 // BS).astype(jnp.int32)
+    blk_iota = jnp.arange(NBLK, dtype=jnp.int32)
+    touched = jnp.zeros((B, NC, NBLK), bool)
+    for bb in (b0, b1):
+        eq = (bb[..., None] == blk_iota) & mask_c[..., None]
+        touched = touched | eq.any(axis=2)
+    cnt = touched.sum(-1).astype(jnp.int32)                     # (B, NC)
+    # sorted block list per cell: touched ids ascending, then NBLK pad
+    bkey = jnp.where(touched, blk_iota[None, None], NBLK)
+    blist = jnp.sort(bkey, axis=-1)                             # (B, NC, NBLK)
+    blist_p = jnp.concatenate(
+        [blist, jnp.full((B, NC, (-NBLK) % BPC + BPC), NBLK, jnp.int32)], -1)
+
+    # empty cells get ZERO chunks — the kernel pre-zeroes the output block
+    # per image, so untouched cells are already correct
+    nchunks = -(-cnt // BPC)                                    # (B, NC)
+    ci = jnp.arange(maxc, dtype=jnp.int32)
+    live = ci[None, None, :] < nchunks[..., None]               # (B, NC, maxc)
+    cell_ids = jnp.broadcast_to(
+        jnp.arange(NC, dtype=jnp.int32)[None, :, None], live.shape)
+    slot = cell_ids * maxc + ci[None, None, :]
+    key = jnp.where(live, slot, NC * maxc)
+    order = jnp.argsort(key.reshape(B, -1), axis=-1)            # live first
+    nlive_total = live.reshape(B, -1).sum(-1).astype(jnp.int32)
+    dropped = jnp.maximum(nlive_total - tcap, 0)
+    nlive = jnp.minimum(nlive_total, tcap)
+
+    take = order[:, :tcap]                                      # (B, tcap)
+    t_cell = jnp.take_along_axis(cell_ids.reshape(B, -1), take, 1)
+    t_ci = jnp.take_along_axis(
+        jnp.broadcast_to(ci[None, None, :], live.shape).reshape(B, -1), take, 1)
+    t_live = jnp.take_along_axis(live.reshape(B, -1), take, 1)
+    t_n = jnp.take_along_axis(
+        jnp.broadcast_to(nchunks[..., None], live.shape).reshape(B, -1), take, 1)
+    first = (t_ci == 0).astype(jnp.int32)
+    last = (t_ci == t_n - 1).astype(jnp.int32)
+    # dead slots -> garbage cell NC, standalone chunk, invalid blocks
+    cell_f = jnp.where(t_live, t_cell, NC)
+    pk1 = cell_f | jnp.where(t_live, first, 1) << 16 | (
+        jnp.where(t_live, last, 1) << 17)
+    # block ids of the chunk: blist[cell, ci*BPC + j]
+    base = jnp.where(t_live, t_cell, 0)
+    js = t_ci[..., None] * BPC + jnp.arange(BPC, dtype=jnp.int32)
+    blk = jnp.take_along_axis(
+        blist_p.reshape(B, NC, -1)[jnp.arange(B)[:, None], base],
+        js, axis=-1)                                            # (B, tcap, BPC)
+    blk = jnp.where(t_live[..., None], blk, NBLK)
+    pk2 = (blk[..., 0] | blk[..., 1] << 5 | blk[..., 2] << 10
+           | blk[..., 3] << 15)
+    return (pk1.astype(jnp.int32), pk2.astype(jnp.int32),
+            nlive.astype(jnp.int32), dropped.astype(jnp.int32))
+
+
+def _tex_kernel(pk1_ref, pk2_ref, nlive_ref, tex_ref, yc_ref, xc_ref,
+                out_ref, acc, *, Ht, Wt, NC, npix, NBLK):
+    """Per image: zero the output once, then walk the live chunk stream.
+
+    Contraction order is x-FIRST: z_c = win_c (K, Wt) @ wx (Wt, npix) on the
+    MXU, then the row weights reduce over K sublanes — the (Wt, npix)
+    accumulator of the naive order (3 MB zero-init per cell + re-read at the
+    cell finalize, measured 3.7 + 3.4 ms/batch) never exists.  Mathematically
+    identical to the dense path; bf16 rounding differs only by summation
+    order."""
+    b = pl.program_id(0)
+    K = BS * BPC
+
+    out_ref[...] = jnp.zeros((1, NC + 1, 8, npix), jnp.float32)
+
+    def body(t, carry):
+        p1 = pk1_ref[b, t]
+        p2 = pk2_ref[b, t]
+        cell = p1 & 0xFFFF
+        first = (p1 >> 16) & 1
+        last = (p1 >> 17) & 1
+
+        @pl.when(first == 1)
+        def _():
+            acc[...] = jnp.zeros((8, npix), jnp.float32)
+
+        # (K, 1) row coordinates of the chunk's window, invalid -> far
+        kio = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
+        jj = kio // BS
+        rr = kio - jj * BS
+        blkv = (p2 >> (5 * jj)) & 31
+        rowv = jnp.where(blkv < NBLK, (BS * blkv + rr).astype(jnp.float32),
+                         _FAR_ROW)
+        y = yc_ref[0, pl.ds(cell, 1), :]                        # (1, npix)
+        w = jax.nn.relu(1.0 - jnp.abs(rowv - y))                # (K, npix)
+
+        xv = xc_ref[0, pl.ds(cell, 1), :]                       # (1, npix)
+        xi = jax.lax.broadcasted_iota(jnp.int32, (Wt, 1), 0
+                                      ).astype(jnp.float32)
+        wx = jax.nn.relu(1.0 - jnp.abs(xi - xv)).astype(jnp.bfloat16)
+
+        part = [acc[0:1], acc[1:2], acc[2:3]]
+        for c in range(3):
+            parts = []
+            for j in range(BPC):
+                bj = jnp.clip((p2 >> (5 * j)) & 31, 0, NBLK - 1)
+                parts.append(tex_ref[0, pl.ds(c * Ht + BS * bj, BS), :])
+            win = jnp.concatenate(parts, axis=0)                # (K, Wt) bf16
+            z = jax.lax.dot_general(
+                win, wx, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)             # (K, npix)
+            part[c] = part[c] + jnp.sum(w * z, axis=0, keepdims=True)
+        acc[0:3] = jnp.concatenate(part, axis=0)
+
+        @pl.when(last == 1)
+        def _():
+            out_ref[0, pl.ds(cell, 1)] = acc[...][None]
+        return carry
+
+    jax.lax.fori_loop(0, nlive_ref[b], body, 0)
+
+
+def _tex_call(pk1, pk2, nlive, texT, yc, xc, *, Ht, Wt, NC, npix, interpret):
+    B = texT.shape[0]
+    kernel = functools.partial(_tex_kernel, Ht=Ht, Wt=Wt, NC=NC, npix=npix,
+                               NBLK=Ht // BS)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 3 * Ht, Wt), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NC, npix), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NC, npix), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, NC + 1, 8, npix), lambda b, *_: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((8, npix), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, NC + 1, 8, npix), jnp.float32),
+        interpret=interpret,
+    )(pk1, pk2, nlive, texT, yc, xc)
+
+
+def _to_cells(img, ch, cw):
+    """(B, H, W) image layout -> (B, NC, npix) cell-major."""
+    B, H, W = img.shape
+    x = img.reshape(B, H // ch, ch, W // cw, cw)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4))
+    return x.reshape(B, (H // ch) * (W // cw), ch * cw)
+
+
+def _from_cells(cells, H, W, ch, cw, C):
+    """(B, NC, npix, C) -> (B, H, W, C)."""
+    B = cells.shape[0]
+    x = cells.reshape(B, H // ch, W // cw, ch, cw, C)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(B, H, W, C)
+
+
+def _masked_dense(texcoord, textures, texmask):
+    from ..sampling import texture_mapping_mxu
+
+    return texture_mapping_mxu(texcoord, textures) * texmask[..., None]
+
+
+def _uv_to_texels(texcoord, Ht, Wt):
+    """uv in [0,1]^2 (v up, kaolin convention) -> float texel coords, the
+    exact arithmetic of texture_mapping_mxu (ops/sampling.py:157-160)."""
+    uv = jnp.clip(texcoord, 0.0, 1.0)
+    gx = uv[..., 0] * 2.0 - 1.0
+    gy = -(uv[..., 1] * 2.0 - 1.0)
+    x = ((gx + 1.0) * Wt - 1.0) * 0.5
+    y = ((gy + 1.0) * Ht - 1.0) * 0.5
+    return y, x
+
+
+def _texture_cells_fwd_impl(texcoord, textures, texmask, interpret):
+    B, H, W, _ = texcoord.shape
+    _, Ht, Wt, C = textures.shape
+    assert C == 3
+    ch, cw = cell_shape(H, W)
+    NC = (H // ch) * (W // cw)
+    npix = ch * cw
+    tcap = default_chunk_capacity(NC)
+
+    y, x = _uv_to_texels(texcoord, Ht, Wt)
+    m = texmask > 0.5
+    yc = _to_cells(jnp.where(m, y, _FAR_Y), ch, cw)
+    xc = _to_cells(x, ch, cw)
+    mc = _to_cells(m.astype(jnp.float32), ch, cw) > 0.5
+    pk1, pk2, nlive, dropped = _build_chunks(yc, mc, Ht, tcap)
+
+    texT = jnp.transpose(textures, (0, 3, 1, 2)).reshape(
+        B, C * Ht, Wt).astype(jnp.bfloat16)
+
+    def kernel_branch(_):
+        cells = _tex_call(pk1, pk2, nlive, texT, yc, xc, Ht=Ht, Wt=Wt,
+                          NC=NC, npix=npix, interpret=interpret)
+        cells = jnp.transpose(cells[:, :NC, :3, :], (0, 1, 3, 2))
+        return _from_cells(cells, H, W, ch, cw, 3)
+
+    def dense_branch(_):
+        return _masked_dense(texcoord, textures, texmask)
+
+    out = jax.lax.cond(jnp.any(dropped > 0), dense_branch, kernel_branch,
+                       operand=None)
+    return out, dropped
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _texture_cells(texcoord, textures, texmask, interpret):
+    return _texture_cells_fwd_impl(texcoord, textures, texmask, interpret)
+
+
+def _texture_cells_fwd(texcoord, textures, texmask, interpret):
+    out, dropped = _texture_cells_fwd_impl(texcoord, textures, texmask,
+                                           interpret)
+    return (out, dropped), (texcoord, textures, texmask)
+
+
+def _texture_cells_bwd(interpret, res, g):
+    texcoord, textures, texmask = res
+    g_out, _ = g  # dropped is an int diagnostic — no cotangent
+    _, vjp = jax.vjp(_masked_dense, texcoord, textures, texmask)
+    return vjp(g_out)
+
+
+_texture_cells.defvjp(_texture_cells_fwd, _texture_cells_bwd)
+
+
+def texture_render(texcoord, textures, texmask, interpret=None):
+    """Masked bilinear UV sampling: ``texture_mapping(uv) * mask`` with the
+    ragged cell-windowed Pallas kernel (exact; dense fallback on stream
+    overflow).  Returns ((B, H, W, 3), dropped (B,) i32 diagnostic —
+    overflowed chunk count; nonzero means the dense fallback ran, the
+    result is exact either way).
+
+    texcoord (B, H, W, 2); textures (B, Ht, Wt, 3); texmask (B, H, W) hard
+    coverage in {0, 1}.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _texture_cells(texcoord, textures, texmask, bool(interpret))
+
+
+def supported(height: int, width: int, tex_h: int, tex_w: int, C: int) -> bool:
+    """Static applicability of the kernel path."""
+    if C != 3 or tex_h // BS > 31 or tex_h % BS:
+        return False
+    ch, cw = cell_shape(height, width)
+    if height % ch or width % cw:
+        return False
+    npix = ch * cw
+    return npix % 128 == 0 and npix >= 256

@@ -139,10 +139,14 @@ class DiffRender:
             # gather pass).  Gradients: attrs via the differentiable phase-2
             # recompute, soft via the Pallas backward kernel (custom VJP in
             # ops/pallas/rasterize_v4.py).
-            from ..ops.pallas.rasterize_v4 import rasterize_fused_v4
+            from ..ops.pallas.rasterize_v4 import (rasterize_fused_v4,
+                                                   rasterize_fused_v5,
+                                                   stream_enabled)
 
+            raster = (rasterize_fused_v5 if stream_enabled()
+                      else rasterize_fused_v4)
             face_idx, soft_mask, uv, normal, hard, dropped = (
-                rasterize_fused_v4(
+                raster(
                     face_vertices_image, face_vertices_camera[:, :, :, 2],
                     face_normals[:, :, 2], self.face_uvs, face_normals,
                     sigmainv=self.sigmainv, height=H, width=W,
@@ -171,13 +175,29 @@ class DiffRender:
 
             texmask, texcoord, imnormal = image_features
 
-        texcolor = texture_mapping(texcoord, textures, mode="bilinear")
+        # texcolor is only ever consumed MASKED by coverage (reference
+        # networks.py:307-313) — the ragged cell-windowed kernel computes
+        # texture_mapping(uv) * texmask directly (exact, with a dense
+        # fallback on stream overflow; see ops/pallas/texture_cells.py)
+        masked_tex = tex_dropped = None
+        if use_v4:
+            from ..ops.pallas.texture_cells import (enabled, supported,
+                                                    texture_render)
+
+            Ht_t, Wt_t, C_t = (textures.shape[1], textures.shape[2],
+                               textures.shape[3])
+            if enabled() and supported(H, W, Ht_t, Wt_t, C_t):
+                masked_tex, tex_dropped = texture_render(
+                    texcoord, textures, texmask[..., 0])
+        if masked_tex is None:
+            texcolor = texture_mapping(texcoord, textures, mode="bilinear")
+            masked_tex = texcolor * texmask
         coef = spherical_harmonic_lighting(imnormal, lights)
         if no_mask:
-            image = texcolor * texmask + bg * (1.0 - texmask)
+            image = masked_tex + bg * (1.0 - texmask)
             image = image * coef[..., None]
         else:
-            image = texcolor * texmask * coef[..., None] + (1.0 - texmask)
+            image = masked_tex * coef[..., None] + (1.0 - texmask)
         render_img = jnp.clip(image, 0.0, 1.0)
 
         rgbs = jnp.concatenate([render_img, soft_mask[..., None]], axis=-1)
@@ -189,6 +209,11 @@ class DiffRender:
             # capacity-overflow diagnostic of the banded kernel: (B,) int32
             # count of (band, face) pairs past band_capacity; 0 = exact
             attributes["dropped_faces"] = dropped
+        if tex_dropped is not None:
+            # texture-cell stream overflow diagnostic: (B,) int32 chunks past
+            # capacity; nonzero images rendered via the (exact) dense
+            # fallback — monitor to retune MAGICMIRROR_TEX_CAP
+            attributes["dropped_tex_chunks"] = tex_dropped
         # landmark-consistency inputs (the reference sketches these at
         # networks.py:322 but leaves them commented out — --lambda_lc crashes
         # there; we emit them so the feature works): per-face projected 2D
