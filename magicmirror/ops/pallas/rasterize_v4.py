@@ -195,6 +195,10 @@ def _bin_lists(fvi, fnz, n_bands: int, capacity: int, n_cols: int = 1):
     # non-overlapping tail to the dead-sentinel index F.
     ids = jnp.arange(F, dtype=jnp.int32)[None, :]
     key = jnp.where(overlap, ids, ids + F)
+    if F < capacity:  # tiny meshes: pad so lists is always (NC, capacity)
+        key = jnp.concatenate(
+            [key, jnp.full((key.shape[0], capacity - F), 2 * F, jnp.int32)],
+            axis=1)
     skey = jnp.sort(key, axis=1)[:, :capacity]
     lists = jnp.where(skey < F, skey, F)
     return lists, dropped
@@ -673,3 +677,235 @@ def rasterize_fused_v4(fvi, fz, fnz, face_uvs, face_normals, sigmainv=7000.0,
     return _fused(fvi, fz, fnz, face_uvs, face_normals, float(sigmainv),
                   height, width, int(band_rows), int(capacity),
                   bool(interpret), int(n_cols))
+
+
+# ------------------------------------------------------- v5: stream forward
+# The v4 forward iterates capacity/8 face chunks for EVERY cell — at the
+# training cameras only 25-50% of those slots hold live faces (the rest are
+# exact identities: dead rows contribute prod *= 1.0 and can never win the
+# z-test).  v5 walks a flat, cell-major stream of only the LIVE face chunks
+# with ONE dynamic-bound fori_loop per image (one pipeline flush per image,
+# the texture_cells lesson) — bitwise-identical outputs, ~occupancy× less
+# kernel work.  The backward reuses the v4 capacity kernel unchanged.
+
+def _build_stream(counts, maxc: int, n_cells: int):
+    """counts (NC,) i32 -> (pk (NC*maxc,) i32, nlive () i32).
+
+    pk packs cell (12 b) | chunk (12 b) | first (bit 24) | last (bit 25),
+    live entries first in cell-major order; entries past nlive are never
+    executed."""
+    nch = -(-counts // 8)                                  # chunks per cell
+    ci = jnp.arange(maxc, dtype=jnp.int32)
+    live = ci[None, :] < nch[:, None]                      # (NC, maxc)
+    cells = jnp.arange(n_cells, dtype=jnp.int32)[:, None]
+    slot = cells * maxc + ci[None, :]
+    key = jnp.where(live, slot, n_cells * maxc)
+    order = jnp.argsort(key.reshape(-1)).astype(jnp.int32)
+    cell_t = order // maxc
+    ci_t = order - cell_t * maxc
+    first = (ci_t == 0).astype(jnp.int32)
+    last = (ci_t == nch[cell_t] - 1).astype(jnp.int32)
+    pk = cell_t | (ci_t << 12) | (first << 24) | (last << 25)
+    nlive = live.sum().astype(jnp.int32)
+    return pk.astype(jnp.int32), nlive
+
+
+def _fwd_stream_kernel(pk_ref, nlive_ref, rows_ref, o_idx, o_sumlog, o_u,
+                       o_v, o_nx, o_ny, o_nz, acc, *, npix, width, height,
+                       sigmainv, n_cols, n_cells):
+    """Per image: pre-zero every cell's outputs, then walk the live chunk
+    stream.  acc (64, npix) scratch rows: 0:8 best_z, 8:16 best_id,
+    16:24 prod, 24:32 u, 32:40 v, 40:64 normal xyz."""
+    b = pl.program_id(0)
+    log_pc = float(np.log(_P_CLAMP))
+    cell_w = width // n_cols
+    band_rows_ = npix // cell_w
+
+    o_idx[...] = jnp.full(o_idx.shape, -1, jnp.int32)
+    for o in (o_sumlog, o_u, o_v, o_nx, o_ny, o_nz):
+        o[...] = jnp.zeros(o.shape, jnp.float32)
+
+    def body(t, carry):
+        p = pk_ref[b, t]
+        cell = p & 0xFFF
+        chunk = (p >> 12) & 0xFFF
+        first = (p >> 24) & 1
+        last = (p >> 25) & 1
+
+        band = cell // n_cols
+        colb = cell - band * n_cols
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, npix), 1)
+        r = lane // cell_w
+        xi = lane - r * cell_w
+        row = band * band_rows_ + r
+        col = colb * cell_w + xi
+        p_x = col.astype(jnp.float32) * (2.0 / width) + (1.0 / width - 1.0)
+        p_y = row.astype(jnp.float32) * (-2.0 / height) + (1.0 - 1.0 / height)
+
+        @pl.when(first == 1)
+        def _():
+            acc[0:8] = jnp.full((8, npix), _Z_INIT, jnp.float32)
+            acc[8:16] = jnp.full((8, npix), jnp.inf, jnp.float32)
+            acc[16:24] = jnp.ones((8, npix), jnp.float32)
+            acc[24:64] = jnp.zeros((40, npix), jnp.float32)
+
+        base = pl.multiple_of(chunk * 8, 8)
+        f = rows_ref[0, pl.ds(cell, 1), pl.ds(base, 8), :][0]   # (8, R)
+
+        def col1(j):
+            return f[:, j:j + 1]                                # (8, 1)
+
+        d0 = col1(A0X) * p_x + col1(A0Y) * p_y + col1(A0C)      # (8, npix)
+        d1 = col1(A1X) * p_x + col1(A1Y) * p_y + col1(A1C)
+        d2 = col1(A2X) * p_x + col1(A2Y) * p_y + col1(A2C)
+        dl = jnp.maximum(jnp.maximum(d0, d1), d2)
+        inside = dl <= 0.0
+        z = col1(ZX) * p_x + col1(ZY) * p_y + col1(ZC)
+        zi = jnp.where(inside, z, _Z_INIT)
+        best_z = acc[0:8]
+        take = zi > best_z
+        acc[0:8] = jnp.where(take, zi, best_z)
+        acc[8:16] = jnp.where(take, col1(FID), acc[8:16])
+        dbx = jnp.maximum(col1(BXMIN) - p_x, p_x - col1(BXMAX))
+        dby = jnp.maximum(col1(BYMIN) - p_y, p_y - col1(BYMAX))
+        dl2 = jnp.maximum(dl, jnp.maximum(dbx, dby))
+        dpos = jnp.maximum(dl2, 0.0)
+        p_soft = jnp.exp(dpos * dpos * (-sigmainv) + log_pc)
+        acc[16:24] = acc[16:24] * (1.0 - p_soft)
+        u = col1(UX) * p_x + col1(UY) * p_y + col1(UC)
+        v = col1(VX) * p_x + col1(VY) * p_y + col1(VC)
+        acc[24:32] = jnp.where(take, u, acc[24:32])
+        acc[32:40] = jnp.where(take, v, acc[32:40])
+        acc[40:48] = jnp.where(take, col1(NXR), acc[40:48])
+        acc[48:56] = jnp.where(take, col1(NYR), acc[48:56])
+        acc[56:64] = jnp.where(take, col1(NZR), acc[56:64])
+
+        @pl.when(last == 1)
+        def _():
+            bz = acc[0:8]
+            bid = acc[8:16]
+            prod = acc[16:24]
+            zmax = jnp.max(bz, axis=0, keepdims=True)           # (1, npix)
+            covered = zmax > _Z_FLOOR
+            winner = bz >= zmax
+            idsel = jnp.min(jnp.where(winner, bid, jnp.inf), axis=0,
+                            keepdims=True)
+            idxf = jnp.where(covered, idsel, -1.0)
+            p4 = prod[0:4] * prod[4:8]
+            p2 = p4[0:2] * p4[2:4]
+            prod_all = p2[0:1] * p2[1:2]
+            o_idx[0, pl.ds(cell, 1), 0, :] = idxf.astype(jnp.int32)
+            o_sumlog[0, pl.ds(cell, 1), 0, :] = jnp.log(prod_all)
+            sel = winner & (bid == idsel) & covered
+            for o, sl in ((o_u, acc[24:32]), (o_v, acc[32:40]),
+                          (o_nx, acc[40:48]), (o_ny, acc[48:56]),
+                          (o_nz, acc[56:64])):
+                o[0, pl.ds(cell, 1), 0, :] = jnp.sum(
+                    jnp.where(sel, sl, 0.0), axis=0, keepdims=True)
+        return carry
+
+    jax.lax.fori_loop(0, nlive_ref[b], body, 0)
+
+
+def _fwd_stream_call(pk, nlive, rows_banded, *, n_bands, npix, width, height,
+                     sigmainv, interpret, n_cols):
+    B = rows_banded.shape[0]
+    n_cells = n_bands * n_cols
+    cell_w = width // n_cols
+    band_rows_ = npix // cell_w
+    K8, R = rows_banded.shape[2], rows_banded.shape[3]
+    out_shape = [jax.ShapeDtypeStruct((B, n_cells, 1, npix), jnp.int32)] + [
+        jax.ShapeDtypeStruct((B, n_cells, 1, npix), jnp.float32)
+        for _ in range(6)]
+    kernel = functools.partial(_fwd_stream_kernel, npix=npix, width=width,
+                               height=height, sigmainv=sigmainv,
+                               n_cols=n_cols, n_cells=n_cells)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, n_cells, K8, R),
+                               lambda b, *_: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((1, n_cells, 1, npix),
+                                lambda b, *_: (b, 0, 0, 0),
+                                memory_space=pltpu.VMEM)] * 7,
+        scratch_shapes=[pltpu.VMEM((64, npix), jnp.float32)],
+    )
+    outs = pl.pallas_call(kernel, grid_spec=grid_spec, out_shape=out_shape,
+                          interpret=interpret)(pk, nlive, rows_banded)
+    return [_uncell(o, B, n_bands, n_cols, band_rows_, cell_w) for o in outs]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+def _fused_stream(fvi, fz, fnz, face_uvs, face_normals, sigmainv, height,
+                  width, band_rows, capacity, interpret, n_cols):
+    n_bands = height // band_rows
+    n_cells = n_bands * n_cols
+    npix = band_rows * (width // n_cols)
+    F = fvi.shape[1]
+    rows = jax.vmap(
+        lambda v, z, n, fn: _face_rows(v, z, n, face_uvs, fn))(
+        fvi, fz, fnz, face_normals)
+    lists, dropped = jax.vmap(
+        lambda v, n: _bin_lists(v, n, n_bands, capacity, n_cols))(fvi, fnz)
+    banded = jax.vmap(lambda r, l: r[l])(rows, lists)
+    counts = (lists < F).sum(axis=2).astype(jnp.int32)     # (B, NCELL)
+    pk, nlive = jax.vmap(
+        lambda c: _build_stream(c, capacity // 8, n_cells))(counts)
+    idx, sumlog, u, v, nx, ny, nz = _fwd_stream_call(
+        pk, nlive, banded, n_bands=n_bands, npix=npix, width=width,
+        height=height, sigmainv=sigmainv, interpret=interpret, n_cols=n_cols)
+    soft = 1.0 - jnp.exp(sumlog)
+    uv = jnp.stack([u, v], axis=-1)
+    normal = jnp.stack([nx, ny, nz], axis=-1)
+    hard = (idx >= 0).astype(jnp.float32)
+    return idx, soft, uv, normal, hard, dropped
+
+
+def _fused_stream_fwd(fvi, fz, fnz, face_uvs, face_normals, sigmainv, height,
+                      width, band_rows, capacity, interpret, n_cols):
+    out = _fused_stream(fvi, fz, fnz, face_uvs, face_normals, sigmainv,
+                        height, width, band_rows, capacity, interpret,
+                        n_cols)
+    idx, soft = out[0], out[1]
+    return out, (fvi, fz, fnz, face_uvs, face_normals, idx, soft)
+
+
+# the backward is IDENTICAL to v4's (capacity kernel + phase-2 recompute)
+_fused_stream.defvjp(_fused_stream_fwd, _fused_bwd)
+
+
+def stream_enabled() -> bool:
+    """Whether the renderer should use the v5 stream forward (latched at
+    import; MAGICMIRROR_RASTER_STREAM=0 reverts to the v4 capacity loop)."""
+    import os
+
+    return os.environ.get("MAGICMIRROR_RASTER_STREAM", "1") != "0"
+
+
+def rasterize_fused_v5(fvi, fz, fnz, face_uvs, face_normals, sigmainv=7000.0,
+                       height=256, width=256, band_rows=None, capacity=None,
+                       interpret=None, n_cols=None):
+    """v5 stream-forward fused rasterization — same contract and (bitwise)
+    results as :func:`rasterize_fused_v4`, ~pair-occupancy× less forward
+    work; the backward path is shared with v4."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    height, width = int(height), int(width)
+    if band_rows is None or n_cols is None:
+        abr, anc = _auto_cells(height, width)
+        band_rows = band_rows or abr
+        n_cols = n_cols or anc
+    n_bands = height // band_rows
+    if capacity is None:
+        capacity = default_capacity(fvi.shape[1], n_bands * n_cols)
+    capacity = -(-int(capacity) // 8) * 8
+    n_cells = n_bands * n_cols
+    assert n_cells < (1 << 12) and capacity // 8 < (1 << 12), (
+        "stream packing: cell/chunk ids must fit 12 bits")
+    assert (height % band_rows == 0 and width % n_cols == 0
+            and (band_rows * (width // n_cols)) % 128 == 0), (
+        "v5 kernel needs H %% band_rows == 0 and cell npix %% 128 == 0")
+    return _fused_stream(fvi, fz, fnz, face_uvs, face_normals,
+                         float(sigmainv), height, width, int(band_rows),
+                         int(capacity), bool(interpret), int(n_cols))

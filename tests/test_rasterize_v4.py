@@ -202,3 +202,47 @@ def test_column_binning_matches_golden(scene):
     g_g = jax.grad(loss_g)(fvi)
     scale = float(jnp.max(jnp.abs(g_g)))
     assert float(jnp.max(jnp.abs(g_g - g_v))) < 1e-4 * scale
+
+
+def test_stream_v5_bitwise_matches_v4(scene):
+    """The v5 stream forward must be BITWISE identical to v4 (dead capacity
+    slots are exact identities), outputs and gradients both."""
+    from magicmirror.ops.pallas.rasterize_v4 import (rasterize_fused_v4,
+                                                     rasterize_fused_v5)
+
+    fvi, fz, fnz = scene["fvi"], scene["fz"], scene["fnz"]
+    fn, face_uvs = scene["fn"], scene["face_uvs"]
+    o4 = rasterize_fused_v4(fvi, fz, fnz, face_uvs, fn, height=H, width=W)
+    o5 = rasterize_fused_v5(fvi, fz, fnz, face_uvs, fn, height=H, width=W)
+    for a, b in zip(o4, o5):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    def loss(fvi_, which):
+        _, soft, uv, normal, _, _ = which(fvi_, fz, fnz, face_uvs, fn,
+                                          height=H, width=W)
+        return (jnp.sum(soft * jnp.sin(soft)) + jnp.sum(uv * 0.3)
+                + jnp.sum(normal ** 2))
+
+    g4 = jax.grad(lambda a: loss(a, rasterize_fused_v4))(fvi)
+    g5 = jax.grad(lambda a: loss(a, rasterize_fused_v5))(fvi)
+    assert np.array_equal(np.asarray(g4), np.asarray(g5))
+
+
+def test_stream_v5_empty_cells_defaults():
+    """Cells with zero faces must come out as background (idx -1, soft 0,
+    attrs 0) — they get no stream entries, only the pre-zeroed outputs."""
+    from magicmirror.ops.pallas.rasterize_v4 import rasterize_fused_v5
+
+    F = 4
+    rng = np.random.RandomState(0)
+    # a tiny off-center triangle cluster leaves most cells empty
+    fvi = jnp.asarray(0.1 * rng.rand(B, F, 3, 2) + 0.5, jnp.float32)
+    fz = jnp.asarray(-2.0 + 0.1 * rng.rand(B, F, 3), jnp.float32)
+    fnz = jnp.ones((B, F), jnp.float32)
+    face_uvs = jnp.asarray(rng.rand(F, 3, 2), jnp.float32)
+    fn = jnp.asarray(rng.rand(B, F, 3), jnp.float32)
+    idx, soft, uv, normal, hard, dropped = rasterize_fused_v5(
+        fvi, fz, fnz, face_uvs, fn, height=H, width=W)
+    idx = np.asarray(idx.reshape(B, H, W))
+    assert (idx[:, :, : W // 4] == -1).all()          # far-left cells empty
+    assert np.allclose(np.asarray(soft.reshape(B, H, W))[:, :, : W // 4], 0.0)
