@@ -1,5 +1,8 @@
 """Cumulative-prefix profile of DiffRender.render on TPU: where do the
-milliseconds actually go in context?"""
+milliseconds actually go in context?  (Round-3 version: profiles the v5
+stream rasterizer + cell-windowed texture pipeline the renderer actually
+runs; per-stage deltas are cumulative-prefix differences, the only timing
+methodology that proved trustworthy through the remote tunnel.)"""
 import os
 import time
 
@@ -25,14 +28,18 @@ def bench(f, *args, iters=10):
 
 def main():
     from magicmirror.geometry import camera as cam
-    from magicmirror.ops.pallas.rasterize_tpu import rasterize_phase1_pallas
-    from magicmirror.ops.rasterize import _interpolate_selected, pixel_grid
-    from magicmirror.ops.sampling import texture_mapping
+    from magicmirror.ops.pallas import texture_cells as tc
+    from magicmirror.ops.pallas.rasterize_v4 import (
+        _auto_cells, _bin_lists, _build_stream, _face_rows, default_capacity,
+        rasterize_fused_v5)
     from magicmirror.ops.shading import spherical_harmonic_lighting
     from magicmirror.render.renderer import DiffRender
 
-    B, S = 32, 256
-    template = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "template", "sphere.obj")
+    B = int(os.environ.get("BENCH_BATCH", "32"))
+    S = int(os.environ.get("BENCH_SIZE", "256"))
+    template = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                            "template",
+                            os.environ.get("BENCH_TEMPLATE", "sphere.obj"))
     dr = DiffRender(template, S, ratio=1.0, backend="pallas")
     rs = np.random.RandomState(0)
     V = dr.num_vertices
@@ -41,13 +48,20 @@ def main():
         "elevations": jnp.asarray(rs.uniform(0, 30, B), jnp.float32),
         "distances": jnp.asarray(rs.uniform(2, 4, B), jnp.float32),
         "biases": jnp.asarray(rs.uniform(-0.2, 0.2, (B, 2)), jnp.float32),
-        "vertices": jnp.broadcast_to(dr.vertices_init[None], (B, V, 3)),
+        "vertices": jnp.asarray(
+            dr.vertices_init[None] + rs.uniform(-0.05, 0.05, (B, V, 3)),
+            jnp.float32),
         "textures": jnp.asarray(rs.rand(B, 2 * S, S, 3), jnp.float32),
         "lights": jnp.asarray(rs.rand(B, 9), jnp.float32),
         "bg": None,
+        "delta_vertices": jnp.zeros((B, V, 3), jnp.float32),
     }
 
-    px, py = pixel_grid(S, S)
+    br, ncols = _auto_cells(S, S)
+    n_bands = S // br
+    n_cells = n_bands * ncols
+    cap = default_capacity(dr.num_faces, n_cells)
+    F = dr.num_faces
 
     def stage_camera(a):
         B_ = a["azimuths"].shape[0]
@@ -59,52 +73,48 @@ def main():
         tf = cam.generate_transformation_matrix(pos, object_pos, up)
         return cam.prepare_vertices(a["vertices"], dr.faces, dr.cam_proj, tf)
 
-    def stage_phase1(a):
+    def stage_prep(a):
+        """camera + coeff rows + bin lists + banded gather + stream build —
+        everything ahead of the pallas launch."""
         fvc, fvi, fn = stage_camera(a)
-        band_rows = max(1, 1024 // S)
-        return jax.vmap(lambda v, z, n: rasterize_phase1_pallas(
-            px, py, v, z, n, 7000.0, width=S, band_rows=band_rows))(
-            fvi, fvc[:, :, :, 2], fn[:, :, 2])
+        fz, fnz = fvc[:, :, :, 2], fn[:, :, 2]
+        rows = jax.vmap(
+            lambda v, z, n, f_: _face_rows(v, z, n, dr.face_uvs, f_))(
+            fvi, fz, fnz, fn)
+        lists, dropped = jax.vmap(
+            lambda v, n: _bin_lists(v, n, n_bands, cap, ncols))(fvi, fnz)
+        banded = jax.vmap(lambda r, l: r[l])(rows, lists)
+        counts = (lists < F).sum(axis=2).astype(jnp.int32)
+        pk, nlive = jax.vmap(
+            lambda c: _build_stream(c, cap // 8, n_cells))(counts)
+        return banded, pk, nlive, dropped
+
+    def stage_raster(a):
+        fvc, fvi, fn = stage_camera(a)
+        return rasterize_fused_v5(fvi, fvc[:, :, :, 2], fn[:, :, 2],
+                                  dr.face_uvs, fn, height=S, width=S)
+
+    def stage_texture(a):
+        idx, soft, uv, normal, hard, dropped = stage_raster(a)
+        texcoord = uv.reshape(B, S, S, 2)
+        out, tdrop = tc.texture_render(texcoord, a["textures"],
+                                       hard.reshape(B, S, S))
+        return out, soft, tdrop
 
     def stage_full(a):
         return dr.render(**a)[0]
 
-    def stage_phase2(a):
-        fvc, fvi, fn = stage_camera(a)
-        band_rows = max(1, 1024 // S)
-        bi, sl = jax.vmap(lambda v, z, n: rasterize_phase1_pallas(
-            px, py, v, z, n, 7000.0, width=S, band_rows=band_rows))(
-            fvi, fvc[:, :, :, 2], fn[:, :, 2])
-        Bn = fvi.shape[0]
-        F = fvi.shape[1]
-        fnu = fn[:, :, None, :].repeat(3, axis=2)
-        feats = jnp.concatenate([
-            jnp.ones((Bn, F, 3, 1)),
-            jnp.broadcast_to(dr.face_uvs[None], (Bn, F, 3, 2)),
-            fnu], axis=-1)
-        out, hard = jax.vmap(lambda b, v, z, ff: _interpolate_selected(
-            px, py, b, v, z, ff))(bi, fvi, fvc[:, :, :, 2], feats)
-        return out, sl
-
-    def stage_texture(a):
-        out, sl = stage_phase2(a)
-        texcoord = out[..., 1:3].reshape(B, S, S, 2)
-        return texture_mapping(texcoord, a["textures"]), sl
-
-    def stage_sh(a):
-        out, sl = stage_phase2(a)
-        texcoord = out[..., 1:3].reshape(B, S, S, 2)
-        tc = texture_mapping(texcoord, a["textures"])
-        imn = out[..., 3:6].reshape(B, S, S, 3)
-        coef = spherical_harmonic_lighting(imn, a["lights"])
-        return tc, coef, sl
-
-    print(f"camera+project : {bench(jax.jit(stage_camera), att)*1e3:7.2f} ms")
-    print(f"+phase1        : {bench(jax.jit(stage_phase1), att)*1e3:7.2f} ms")
-    print(f"+phase2        : {bench(jax.jit(stage_phase2), att)*1e3:7.2f} ms")
-    print(f"+texture       : {bench(jax.jit(stage_texture), att)*1e3:7.2f} ms")
-    print(f"+sh            : {bench(jax.jit(stage_sh), att)*1e3:7.2f} ms")
-    print(f"full render    : {bench(jax.jit(stage_full), att)*1e3:7.2f} ms")
+    t1 = bench(jax.jit(stage_camera), att) * 1e3
+    t2 = bench(jax.jit(stage_prep), att) * 1e3
+    t3 = bench(jax.jit(stage_raster), att) * 1e3
+    t4 = bench(jax.jit(stage_texture), att) * 1e3
+    t5 = bench(jax.jit(stage_full), att) * 1e3
+    print(f"camera+project     : {t1:7.2f} ms")
+    print(f"+rows/bin/stream   : {t2:7.2f} ms  (Δ {t2-t1:6.2f})")
+    print(f"+v5 kernel         : {t3:7.2f} ms  (Δ {t3-t2:6.2f})")
+    print(f"+texture cells     : {t4:7.2f} ms  (Δ {t4-t3:6.2f})")
+    print(f"full render        : {t5:7.2f} ms  (Δ {t5-t4:6.2f})  "
+          f"→ {B/t5*1e3:7.1f} fps")
 
 
 if __name__ == "__main__":

@@ -1,4 +1,15 @@
-"""Training-step throughput on the current device (full D+G alternation)."""
+"""Training-step throughput on the current device (full D+G alternation).
+
+Env: B (batch), S (imageSize), RATIO (height/width, reference --ratio; the
+render/input is (RATIO*S, S)), ITERS.  Reference-scale shapes
+(VERDICT r2 item 4): CUB b48 S=128 ratio 1 (reference README.md:192-202),
+Market b48 S=64 ratio 2 (64 wide x 128 high), THuman b16 S=128 ratio 2.
+
+    B=48 S=128 python benchmarks/bench_train_step.py
+    B=48 S=64 RATIO=2 python benchmarks/bench_train_step.py
+    JSON_OUT=TRAINBENCH.json python benchmarks/bench_train_step.py  # append
+"""
+import json
 import os as _os
 import sys as _sys
 
@@ -23,43 +34,60 @@ def main():
 
     B = int(_os.environ.get("B", "16"))
     S = int(_os.environ.get("S", "128"))
+    ratio = float(_os.environ.get("RATIO", "1"))
+    H = round(ratio * S)
     opt = build_parser().parse_args([])
     opt.imageSize = S
     opt.batchSize = B
+    opt.ratio = ratio
     opt.pretrains = opt.pretrainc = opt.pretraint = "none"
 
     template = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
                              "..", "template", "sphere.obj")
-    dr = DiffRender(template, S, ratio=1.0)
+    dr = DiffRender(template, S, ratio=ratio)
     netE = AttributeEncoder(num_vertices=dr.num_vertices,
                             pretrains="none", pretrainc="none",
-                            pretraint="none", droprate=opt.droprate)
+                            pretraint="none", droprate=opt.droprate,
+                            ratio=ratio)
     netD = Discriminator(nc=3, nf=16)
     opt_e, opt_d = make_optimizer_e(), make_optimizer_d()
     lpl = dr.vertices_laplacian_matrix
     state = create_train_state(jax.random.PRNGKey(0), netE, netD, opt_e,
-                               opt_d, jnp.zeros((B, S, S, 4)),
+                               opt_d, jnp.zeros((B, H, S, 4)),
                                dr.vertices_init, lpl)
     # donate=True is what the real trainer runs (train/trainer.py):
     # donated buffers let XLA reuse the 30M-param state in place
     step = make_train_step(opt, dr, netE, netD, opt_e, opt_d, lpl,
                            donate=True)
     rs = np.random.RandomState(0)
-    Xa = jnp.asarray(rs.rand(B, S, S, 4).astype(np.float32))
+    Xa = jnp.asarray(rs.rand(B, H, S, 4).astype(np.float32))
     rng = jax.random.PRNGKey(0)
     t0 = time.perf_counter()
     state, m, *_ = step(state, Xa, rng, 1e-4, 1e-4, 1.0, 0)
     jax.block_until_ready(m["lossR"])
     print(f"compile+first step: {time.perf_counter()-t0:.1f}s")
-    iters = 10
+    iters = int(_os.environ.get("ITERS", "10"))
     t0 = time.perf_counter()
     for i in range(iters):
         rng, sub = jax.random.split(rng)
         state, m, *_ = step(state, Xa, sub, 1e-4, 1e-4, 1.0, 0)
     jax.block_until_ready(m["lossR"])
     dt = (time.perf_counter() - t0) / iters
-    print(f"train step (B={B}, {S}x{S}): {dt*1e3:.1f} ms → "
+    row = {"metric": "train_step_imgs_per_sec", "batch": B,
+           "shape": [H, S], "step_ms": round(dt * 1e3, 1),
+           "value": round(B / dt, 1)}
+    print(f"train step (B={B}, {H}x{S}): {dt*1e3:.1f} ms → "
           f"{B/dt:.1f} imgs/sec ({dt:.3f} s/step)")
+    print(json.dumps(row))
+    out = _os.environ.get("JSON_OUT")
+    if out:
+        rows = []
+        if _os.path.exists(out):
+            with open(out) as f:
+                rows = json.load(f)
+        rows.append(row)
+        with open(out, "w") as f:
+            json.dump(rows, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -38,6 +38,20 @@ def main():
     ap.add_argument("--eval_every", type=int, default=100)
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--out", default="RESULTS")
+    # round-3 additions (VERDICT r2 item 5): recipe backbones (from-scratch
+    # parity mode), EM + SWA cadences, and a real data budget — the round-2
+    # run recycled 16 fixed batches, which is the prime suspect for the
+    # post-6k eval decay (memorization)
+    ap.add_argument("--n_batches", type=int, default=64,
+                    help="distinct synthetic train batches to cycle")
+    ap.add_argument("--pretrains", default="none")
+    ap.add_argument("--pretrainc", default="none")
+    ap.add_argument("--pretraint", default="none")
+    ap.add_argument("--em_every", type=int, default=0,
+                    help="EM template update every N steps (0 = off)")
+    ap.add_argument("--swa_start", type=int, default=-1,
+                    help="step to start SWA averaging (-1 = off)")
+    ap.add_argument("--swa_every", type=int, default=500)
     args = ap.parse_args()
 
     from magicmirror.configs.flags import build_parser
@@ -54,7 +68,9 @@ def main():
     opt = build_parser().parse_args([])
     opt.imageSize = args.size
     opt.batchSize = args.batch
-    opt.pretrains = opt.pretrainc = opt.pretraint = "none"
+    opt.pretrains = args.pretrains
+    opt.pretrainc = args.pretrainc
+    opt.pretraint = args.pretraint
     opt.warm_epoch = 1
 
     template = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
@@ -63,8 +79,8 @@ def main():
     netE = AttributeEncoder(
         num_vertices=dr.num_vertices, azi_scope=opt.azi_scope,
         elev_range=opt.elev_range, dist_range=opt.dist_range,
-        pretraint="none", pretrainc="none", pretrains="none",
-        droprate=opt.droprate, ratio=1.0)
+        pretraint=args.pretraint, pretrainc=args.pretrainc,
+        pretrains=args.pretrains, droprate=opt.droprate, ratio=1.0)
     netD = Discriminator(nc=3, nf=16)
     opt_e, opt_d = make_optimizer_e(), make_optimizer_d()
     lpl = dr.vertices_laplacian_matrix
@@ -76,9 +92,9 @@ def main():
 
     train_batches = [
         jnp.asarray(make_synthetic_batch(dr, s, args.batch, args.size))
-        for s in range(16)]
+        for s in range(args.n_batches)]
     eval_batch = jnp.asarray(
-        make_synthetic_batch(dr, 999, args.batch, args.size))
+        make_synthetic_batch(dr, 999999, args.batch, args.size))
 
     @jax.jit
     def eval_metrics(state, Xa):
@@ -96,6 +112,12 @@ def main():
         return (ssim(pred_rgb, white), mask_iou_metric(pred_mask, gt_mask),
                 rgba, diag)
 
+    from magicmirror.train.em_update import (apply_template_update,
+                                             make_encode_sweep, select_delta)
+    from magicmirror.train.state import swa_update
+
+    encode_sweep = make_encode_sweep(netE, dr, lpl)
+
     os.makedirs(args.out, exist_ok=True)
     csv_path = os.path.join(args.out, "curves.csv")
     rows = []
@@ -108,17 +130,42 @@ def main():
         state, metrics, Xer, _ = step(
             state, train_batches[i % len(train_batches)], sub,
             lr, lr, warm, 0)
+        if args.em_every and i > 0 and i % args.em_every == 0:
+            # EM template update over the full synthetic train set
+            # (reference trainer.py:979-1105 cadence, per-step granularity)
+            all_v, all_d = [], []
+            for tb in train_batches:
+                v, d = encode_sweep(state.params_e, state.stats_e,
+                                    state.template, tb, bool(opt.white))
+                all_v.append(np.asarray(v))
+                all_d.append(np.asarray(d))
+            sum_delta, count = select_delta(np.concatenate(all_v),
+                                            np.concatenate(all_d), opt,
+                                            dr.num_vertices)
+            new_t, new_em = apply_template_update(
+                np.asarray(state.template), sum_delta, count,
+                np.asarray(lpl), warm, float(state.em_step), opt)
+            state = state.replace(template=jnp.asarray(new_t),
+                                  em_step=jnp.asarray(new_em, jnp.float32))
+        if (args.swa_start >= 0 and i >= args.swa_start
+                and (i - args.swa_start) % args.swa_every == 0):
+            state = swa_update(state)
         if i % args.eval_every == 0 or i == args.steps - 1:
             s, iou, rgba, diag = eval_metrics(state, eval_batch)
+            tdrift = float(jnp.max(jnp.abs(state.template
+                                           - dr.vertices_init)))
             row = dict(step=i, wall_s=round(time.time() - t0, 1),
                        ssim=round(float(s), 4), mask_iou=round(float(iou), 4),
                        lossR_data=round(float(metrics["lossR_data"]), 4),
+                       lossR_fake=round(float(metrics["lossR_fake"]), 4),
                        lossD=round(float(metrics["lossD"]), 5),
                        dropped=int(float(metrics.get("dropped_faces", 0.0))),
                        dist=round(float(diag["dist"]), 2),
                        elev=round(float(diag["elev"]), 1),
                        mask=round(float(diag["mask"]), 3),
-                       dmax=round(float(diag["dmax"]), 3))
+                       dmax=round(float(diag["dmax"]), 3),
+                       tdrift=round(tdrift, 4),
+                       swa_n=int(state.swa_n))
             rows.append(row)
             print(" ".join(f"{k}={v}" for k, v in row.items()), flush=True)
             with open(csv_path, "w", newline="") as fp:

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ..configs.flags import build_parser, load_options
 from ..data.cub import CUBDataset
-from ..eval.pck import pck, transfer_via_camera
+from ..eval.pck import pck_aggregate, pck_errors, transfer_via_camera
 from ..eval.reports import ResultLog
 from ..geometry.camera import perspective_projection
 from ..render.renderer import DiffRender
@@ -63,7 +63,7 @@ def main(argv=None):
                           Xa, state.template, lpl, train_shape=0, train=False)
 
     cam_proj = diffRender.cam_proj
-    scores = {0.1: [], 0.15: []}
+    all_errs, all_vis = [], []
     n = min(len(dataset) // 2, opt.max_pairs) * 2
     for i in tqdm.tqdm(range(0, n, 2)):
         a, b = dataset[i], dataset[i + 1]
@@ -78,29 +78,36 @@ def main(argv=None):
                       ("azimuths", "elevations", "distances", "biases"))
         cam_b = tuple(np.asarray(att[k])[1:2] for k in
                       ("azimuths", "elevations", "distances", "biases"))
-        # GT keypoints are in raw-image pixels; the dataset pads to square and
-        # resizes — approximate by normalizing against the raw size is not
-        # recoverable here, so evaluate in the model's input frame: scale raw
-        # kp coords by the stored visible flag only.
         ka = kps[stem_a]
         kb = kps[stem_b]
         vis = (ka[:, 2] > 0) & (kb[:, 2] > 0)
-        # normalize to [-1,1] against the raw annotation frame extent
+        if vis.sum() == 0:
+            continue
+
+        # annotation pixels -> [-1,1] over the visible-kp bbox, y FLIPPED
+        # into the model NDC frame (+y up) so nearest-vertex matching and
+        # the returned predictions live in one frame
         def norm(k):
             xy = k[:, :2].copy()
             span = xy[vis].max(0) - xy[vis].min(0) + 1e-6
             center = (xy[vis].max(0) + xy[vis].min(0)) / 2
-            return (xy - center) / (span / 2 + 1e-6)
+            out = (xy - center) / (span / 2 + 1e-6)
+            out[:, 1] = -out[:, 1]
+            return out
 
-        pred = transfer_via_camera(norm(ka), verts, cam_a, cam_b, cam_proj)
-        s = pck(pred, norm(kb), vis, (opt.imageSize, opt.imageSize))
-        for alpha in scores:
-            scores[alpha].append(s[alpha])
+        mask_tgt = np.asarray(b["images"])[..., 3]
+        pred = transfer_via_camera(norm(ka), verts, cam_a, cam_b, cam_proj,
+                                   mask_tgt=mask_tgt)
+        all_errs.append(pck_errors(pred, norm(kb)))
+        all_vis.append(vis.astype(np.float64))
 
     result = ResultLog(os.path.join(opt.outf, "result.txt"))
-    for alpha, vals in scores.items():
-        v = float(np.mean(vals)) if vals else float("nan")
-        print(f"PCK@{alpha}: {v:.4f} over {len(vals)} pairs")
+    # reference aggregation: per-keypoint accuracy over all pairs, then the
+    # keypoint mean (reference PCK/test_kp.py:313-323)
+    scores = pck_aggregate(np.stack(all_errs), np.stack(all_vis)) \
+        if all_errs else {0.1: float("nan"), 0.15: float("nan")}
+    for alpha, v in scores.items():
+        print(f"PCK@{alpha}: {v:.4f} over {len(all_errs)} pairs")
         result.write(f"PCK@{alpha}: {v:.4f}")
 
 

@@ -71,10 +71,19 @@ def calculate_frechet_distance(mu1, sigma1, mu2, sigma2, eps=1e-6):
     """Fréchet distance between two Gaussians (reference fid_score.py:141-196)."""
     from scipy import linalg
 
+    import warnings
+
     mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
     sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
     diff = mu1 - mu2
-    covmean, _ = linalg.sqrtm(sigma1.dot(sigma2), disp=False)
+    with warnings.catch_warnings():
+        # with < dims samples the covariances are rank-deficient and scipy
+        # warns "Matrix is singular"; the standard pytorch-fid numerics
+        # below (eps-offset retry on non-finite) already handle it, and the
+        # math must stay bit-identical for FID comparability (SURVEY §7
+        # trap 5) — so silence the warning rather than regularize earlier
+        warnings.filterwarnings("ignore", message=".*singular.*")
+        covmean, _ = linalg.sqrtm(sigma1.dot(sigma2), disp=False)
     if not np.isfinite(covmean).all():
         offset = np.eye(sigma1.shape[0]) * eps
         covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))

@@ -460,6 +460,20 @@ def trainer(opt, train_dataloader, test_dataloader, train_noaug_dataloader):
                     np.asarray(lpl), warm_up, float(state.em_step), opt)
                 state = state.replace(template=jnp.asarray(new_template),
                                       em_step=jnp.asarray(new_em, jnp.float32))
+                if opt.update_bn:
+                    # refresh the LIVE encoder's BN stats after the template
+                    # rewrite — the running stats were estimated against the
+                    # old template (reference trainer.py:1105)
+                    print("===========Updating BatchNorm after EM===========")
+                    from .state import make_update_bn
+
+                    update_bn_fn = make_update_bn(netE, lpl)
+                    rng, sub = jax.random.split(rng)
+                    new_stats = update_bn_fn(state.params_e, state.stats_e,
+                                             state.template,
+                                             train_dataloader, sub,
+                                             max_batches=50)
+                    state = state.replace(stats_e=new_stats)
 
     summary.close()
     return state

@@ -22,8 +22,11 @@ def test_batch_sharding_roundtrip():
     np.testing.assert_allclose(np.asarray(sharded["images"]), 1.0)
 
 
-def test_dryrun_multichip_entry():
-    """The driver's multi-chip dry run: full train step over an 8-device mesh."""
+def test_dryrun_multichip_entry_and_dp_invariance():
+    """The driver's multi-chip dry run: full train step over an 8-device
+    mesh, PLUS the DP-invariance proof — the identical global batch on a
+    1-device mesh must give the same lossR/lossD and parameter-norm
+    fingerprint within fp tolerance (asserted inside dryrun_multichip)."""
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)

@@ -67,16 +67,31 @@ def test_misc_utils():
 def test_pck_texture_flow_transfer():
     from magicmirror.eval.pck import pck, transfer_via_texture_flow
 
-    # both flows are the identity map over a grid: transfer = identity
-    ys, xs = np.meshgrid(np.linspace(-1, 1, 8), np.linspace(-1, 1, 8),
-                         indexing="ij")
-    flow = np.stack([xs, ys], -1).astype(np.float32)
+    # both flows are the identity map over a dense grid: transfer = identity
+    # (dense enough that the nearest flow sample falls inside the reference's
+    # ±3σ heatmap window — reference PCK/kp_utils.py:46)
+    ys, xs = np.meshgrid(np.linspace(-0.95, 0.95, 48),
+                         np.linspace(-0.95, 0.95, 48), indexing="ij")
+    flow = np.stack([xs, ys], -1).astype(np.float32).reshape(-1, 1, 2)
     kps = np.asarray([[0.0, 0.0], [-0.5, 0.5]], np.float32)
-    out = transfer_via_texture_flow(kps, flow, flow)
-    np.testing.assert_allclose(out, kps, atol=0.15)
+    out = transfer_via_texture_flow(kps, flow, flow, image_size=256, sigma=3)
+    np.testing.assert_allclose(out, kps, atol=0.05)
 
-    scores = pck(out, kps, np.ones(2, bool), (64, 64))
+    scores = pck(out, kps, np.ones(2, bool))
     assert scores[0.15] == 1.0
+
+
+def test_pck_heatmap_matches_reference_shape():
+    from magicmirror.eval.pck import draw_labelmap
+
+    hp = draw_labelmap(np.zeros((64, 64)), (20.0, 30.0), 3)
+    assert hp[30, 20] == 1.0                      # center value exactly 1
+    np.testing.assert_allclose(hp[30, 20 + 3], np.exp(-9 / 18.0),
+                               rtol=1e-6)            # e^{-d²/2σ²}
+    assert hp[30, 20 + 10] == 0.0                 # outside the ±3σ window
+    # off-canvas keypoint leaves the map untouched
+    np.testing.assert_array_equal(
+        draw_labelmap(np.zeros((64, 64)), (-100.0, 0.0), 3), 0.0)
 
 
 def test_pck_camera_transfer():
@@ -96,3 +111,33 @@ def test_pck_camera_transfer():
     kps = vi[:5]
     out = transfer_via_camera(kps, verts, cam, cam, cam_proj)
     np.testing.assert_allclose(out, kps, atol=1e-4)
+
+    # with a target mask the answer snaps to the nearest foreground pixel
+    # (reference test_kp.py:176-191: fg_coords[proj2fg_idx[kp2proj_idx]])
+    H = W = 64
+    mask = np.zeros((H, W))
+    mask[8:20, 40:56] = 1.0
+    out_m = transfer_via_camera(kps, verts, cam, cam, cam_proj,
+                                mask_tgt=mask)
+    # every answer is a foreground pixel center
+    xs = (2.0 * np.arange(W) + 1.0) / W - 1.0
+    ys = -((2.0 * np.arange(H) + 1.0) / H - 1.0)
+    fg = np.stack(np.meshgrid(xs, ys)[::1], -1)
+    for p in out_m:
+        j = np.argmin(np.abs(xs - p[0]))
+        i = np.argmin(np.abs(ys - p[1]))
+        assert mask[i, j] == 1.0
+
+
+def test_pck_aggregate_reference_math():
+    from magicmirror.eval.pck import pck_aggregate, pck_errors
+
+    pred = np.array([[0.1, 0.0], [0.0, 0.0]])
+    gt = np.zeros((2, 2))
+    # err = L2 * (1+2·pf)/2; pf=0 → [0.05, 0]
+    np.testing.assert_allclose(pck_errors(pred, gt), [0.05, 0.0])
+    errs = np.array([[0.05, 0.2], [0.12, 0.01]])
+    vis = np.array([[1.0, 1.0], [1.0, 0.0]])
+    # kp0: {0.05, 0.12} → @0.1: 1/2; kp1: {0.2} → 0/1; mean = 0.25
+    s = pck_aggregate(errs, vis, alphas=(0.1,))
+    assert s[0.1] == 0.25
