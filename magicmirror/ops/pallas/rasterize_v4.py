@@ -204,6 +204,28 @@ def _bin_lists(fvi, fnz, n_bands: int, capacity: int, n_cols: int = 1):
     return lists, dropped
 
 
+def _gather_rows(rows, lists):
+    """Banded row gather (B, F+1, R)[lists (B, NC, K)] -> (B, NC, K, R).
+
+    XLA's TPU row-gather is serial (~2.2 ms at B=32/256²/1280 faces); a
+    one-hot MXU matmul does the same selection in ~0.5 ms and is EXACT at
+    Precision.HIGHEST (one nonzero term per output, zero terms add 0.0
+    exactly; bitwise-parity pinned by the v4/v5 golden tests).  Default
+    (bf16) precision corrupts the ±1e30 sentinel rows — do not downgrade.
+    Falls back to the plain gather when the one-hot would be huge
+    (SMPL-scale meshes: NC·K·F exceeds the arithmetic win)."""
+    B_, Fp1, R = rows.shape
+    NC, K = lists.shape[1], lists.shape[2]
+    if NC * K * Fp1 > 64_000_000:
+        return jax.vmap(lambda r, l: r[l])(rows, lists)
+    oh = (lists.reshape(B_, NC * K)[:, :, None]
+          == jnp.arange(Fp1, dtype=jnp.int32)).astype(jnp.float32)
+    banded = jnp.einsum("bkf,bfr->bkr", oh, rows,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+    return banded.reshape(B_, NC, K, R)
+
+
 def default_capacity(num_faces: int, n_cells: int) -> int:
     """Static per-cell face capacity: 4x the uniform share with a floor of
     160 — sized so an adversarial sweep at the closest training camera
@@ -468,7 +490,7 @@ def _soft_backward(fvi, fz, fnz, g_sumlog, *, sigmainv, height, width,
     rows = jax.vmap(_face_rows)(fvi, fz, fnz)              # (B, F+1, R_PLAIN)
     lists, _ = jax.vmap(
         lambda v, n: _bin_lists(v, n, n_bands, capacity, n_cols))(fvi, fnz)
-    banded = jax.vmap(lambda r, l: r[l])(rows, lists)      # (B, NCELL, K, R)
+    banded = _gather_rows(rows, lists)                     # (B, NCELL, K, R)
     rowsT = jnp.transpose(banded, (0, 1, 3, 2))            # (B, NCELL, R, K)
     g_c = g_sumlog.reshape(B, n_bands, band_rows, n_cols, cell_w)
     g_c = jnp.transpose(g_c, (0, 1, 3, 2, 4))              # cell-major
@@ -496,7 +518,7 @@ def _plain(fvi, fz, fnz, sigmainv, height, width, band_rows, capacity,
     rows = jax.vmap(_face_rows)(fvi, fz, fnz)
     lists, dropped = jax.vmap(
         lambda v, n: _bin_lists(v, n, n_bands, capacity, n_cols))(fvi, fnz)
-    banded = jax.vmap(lambda r, l: r[l])(rows, lists)
+    banded = _gather_rows(rows, lists)
     idx, sumlog = _fwd_call(banded, K=capacity, n_bands=n_bands, npix=npix,
                             width=width, height=height, sigmainv=sigmainv,
                             fused=False, interpret=interpret, n_cols=n_cols)
@@ -588,7 +610,7 @@ def _fused(fvi, fz, fnz, face_uvs, face_normals, sigmainv, height, width,
         fvi, fz, fnz, face_normals)
     lists, dropped = jax.vmap(
         lambda v, n: _bin_lists(v, n, n_bands, capacity, n_cols))(fvi, fnz)
-    banded = jax.vmap(lambda r, l: r[l])(rows, lists)
+    banded = _gather_rows(rows, lists)
     idx, sumlog, u, v, nx, ny, nz = _fwd_call(
         banded, K=capacity, n_bands=n_bands, npix=npix, width=width,
         height=height, sigmainv=sigmainv, fused=True, interpret=interpret,
@@ -848,7 +870,7 @@ def _fused_stream(fvi, fz, fnz, face_uvs, face_normals, sigmainv, height,
         fvi, fz, fnz, face_normals)
     lists, dropped = jax.vmap(
         lambda v, n: _bin_lists(v, n, n_bands, capacity, n_cols))(fvi, fnz)
-    banded = jax.vmap(lambda r, l: r[l])(rows, lists)
+    banded = _gather_rows(rows, lists)
     counts = (lists < F).sum(axis=2).astype(jnp.int32)     # (B, NCELL)
     pk, nlive = jax.vmap(
         lambda c: _build_stream(c, capacity // 8, n_cells))(counts)
