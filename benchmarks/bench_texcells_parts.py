@@ -106,7 +106,7 @@ def main():
     xc = _to_cells(x, ch, cw)
     mc = _to_cells(m.astype(jnp.float32), ch, cw) > 0.5
     pk1, pk2, nlive, dropped = jax.jit(
-        functools.partial(_build_chunks, Ht=Ht, tcap=tcap))(yc, mc)
+        functools.partial(_build_chunks, Ht=Ht, Wt=Wt, tcap=tcap))(yc, xc, mc)
     print("nlive mean", float(np.mean(np.asarray(nlive))), "dropped",
           int(np.asarray(dropped).sum()))
     texT = jnp.transpose(tex, (0, 3, 1, 2)).reshape(B, 3 * Ht, Wt).astype(

@@ -478,26 +478,161 @@ def _bwd_call(rowsT, g_banded, *, K, n_cells, npix, width, height, sigmainv,
     )(rowsT, g_banded)
 
 
+def _bwd_stream_kernel(pk_ref, nlive_ref, rowsT_ref, g_ref, out_ref, *,
+                       K128, npix, width, height, sigmainv, n_cols,
+                       n_cells):
+    """Stream backward: one dynamic loop per image over live (cell,
+    128-face-lane window) items.  Windows are disjoint, so each item
+    independently reduces its moments over the cell's pixels and writes its
+    lane slice — no cross-item state; empty cells/windows stay pre-zeroed.
+    Dead (padded) face slots produce exactly-zero moments (their p_soft
+    underflows to 0)."""
+    b = pl.program_id(0)
+    out_ref[...] = jnp.zeros(out_ref.shape, jnp.float32)
+    cell_w = width // n_cols
+    band_rows_ = npix // cell_w
+
+    def body(t, carry):
+        p = pk_ref[b, t]
+        cell = p & 0xFFF
+        w_idx = (p >> 12) & 0xFFF
+        woff = pl.multiple_of(w_idx * 128, 128)
+
+        def rowv(j):
+            return rowsT_ref[0, pl.ds(cell, 1), j, pl.ds(woff, 128)]
+
+        a0x, a0y, a0c = rowv(A0X), rowv(A0Y), rowv(A0C)
+        a1x, a1y, a1c = rowv(A1X), rowv(A1Y), rowv(A1C)
+        a2x, a2y, a2c = rowv(A2X), rowv(A2Y), rowv(A2C)
+        xmin, xmax = rowv(BXMIN), rowv(BXMAX)
+        ymin, ymax = rowv(BYMIN), rowv(BYMAX)
+
+        band = cell // n_cols
+        colb = cell - band * n_cols
+
+        def sub(s, acc):
+            lane = jax.lax.broadcasted_iota(jnp.int32, (_BWD_TPS, 1), 0)
+            flat = s * _BWD_TPS + lane
+            r = flat // cell_w
+            xi = flat - r * cell_w
+            row = band * band_rows_ + r
+            col = colb * cell_w + xi
+            p_x = col.astype(jnp.float32) * (2.0 / width) + (
+                1.0 / width - 1.0)
+            p_y = row.astype(jnp.float32) * (-2.0 / height) + (
+                1.0 - 1.0 / height)
+            g = g_ref[0, pl.ds(cell, 1),
+                      pl.ds(s * _BWD_TPS, _BWD_TPS), :][0]    # (TPS, 1)
+
+            d0 = a0x * p_x + a0y * p_y + a0c                  # (TPS, 128)
+            d1 = a1x * p_x + a1y * p_y + a1c
+            d2 = a2x * p_x + a2y * p_y + a2c
+            dl = jnp.maximum(jnp.maximum(d0, d1), d2)
+            dbx = jnp.maximum(xmin - p_x, p_x - xmax)
+            dby = jnp.maximum(ymin - p_y, p_y - ymax)
+            dl2 = jnp.maximum(dl, jnp.maximum(dbx, dby))
+            dpos = jnp.maximum(dl2, 0.0)
+            p_soft = _P_CLAMP * jnp.exp(dpos * dpos * (-sigmainv))
+            gl = g * (2.0 * sigmainv) * dpos * (p_soft / (1.0 - p_soft))
+
+            mline = (dl >= dbx) & (dl >= dby)
+            m0 = (d0 >= d1) & (d0 >= d2)
+            m1 = jnp.logical_not(m0) & (d1 >= d2)
+            m2 = jnp.logical_not(m0) & jnp.logical_not(m1)
+            w0 = jnp.where(mline & m0, gl, 0.0)
+            w1 = jnp.where(mline & m1, gl, 0.0)
+            w2 = jnp.where(mline & m2, gl, 0.0)
+            mb = jnp.logical_not(mline)
+            mbx = mb & (dbx >= dby)
+            mby = mb & jnp.logical_not(mbx)
+            wxmin = jnp.where(mbx & ((xmin - p_x) >= (p_x - xmax)), gl, 0.0)
+            wxmax = jnp.where(mbx & ((xmin - p_x) < (p_x - xmax)), -gl, 0.0)
+            wymin = jnp.where(mby & ((ymin - p_y) >= (p_y - ymax)), gl, 0.0)
+            wymax = jnp.where(mby & ((ymin - p_y) < (p_y - ymax)), -gl, 0.0)
+
+            def mom(w):
+                return (jnp.sum(w * p_x, axis=0, keepdims=True),
+                        jnp.sum(w * p_y, axis=0, keepdims=True),
+                        jnp.sum(w, axis=0, keepdims=True))
+
+            terms = mom(w0) + mom(w1) + mom(w2) + (
+                jnp.sum(wxmin, axis=0, keepdims=True),
+                jnp.sum(wxmax, axis=0, keepdims=True),
+                jnp.sum(wymin, axis=0, keepdims=True),
+                jnp.sum(wymax, axis=0, keepdims=True))
+            return tuple(a + tt for a, tt in zip(acc, terms))
+
+        init = tuple(jnp.zeros((1, 128), jnp.float32) for _ in range(13))
+        acc = jax.lax.fori_loop(0, npix // _BWD_TPS, sub, init)
+        for j in range(13):
+            out_ref[0, pl.ds(cell, 1), j, pl.ds(woff, 128)] = acc[j]
+        return carry
+
+    jax.lax.fori_loop(0, nlive_ref[b], body, 0)
+
+
+def _bwd_stream_call(pk, nlive, rowsT, g_banded, *, K128, n_cells, npix,
+                     width, height, sigmainv, interpret, n_cols):
+    B = rowsT.shape[0]
+    R = rowsT.shape[2]
+    kernel = functools.partial(_bwd_stream_kernel, K128=K128, npix=npix,
+                               width=width, height=height,
+                               sigmainv=sigmainv, n_cols=n_cols,
+                               n_cells=n_cells)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, n_cells, R, K128), lambda b, *_: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_cells, npix, 1), lambda b, *_: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n_cells, 16, K128),
+                               lambda b, *_: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, n_cells, 16, K128), jnp.float32),
+        interpret=interpret)(pk, nlive, rowsT, g_banded)
+
+
 def _soft_backward(fvi, fz, fnz, g_sumlog, *, sigmainv, height, width,
-                   band_rows, capacity, interpret, n_cols=1):
+                   band_rows, capacity, interpret, n_cols=1, stream=None):
     """g_sumlog (B, P) -> g_fvi (B, F, 3, 2) via the Pallas moment kernel +
-    jax.vjp through the XLA coefficient precompute."""
+    jax.vjp through the XLA coefficient precompute.  ``stream`` (default:
+    stream_enabled()) selects the live-window stream backward; the padded
+    capacity rounds up to 128 lanes there."""
+    if stream is None:
+        stream = stream_enabled()
     B, F = fvi.shape[0], fvi.shape[1]
     n_bands = height // band_rows
     cell_w = width // n_cols
     n_cells = n_bands * n_cols
     npix = band_rows * cell_w
     rows = jax.vmap(_face_rows)(fvi, fz, fnz)              # (B, F+1, R_PLAIN)
+    K = -(-capacity // 128) * 128 if stream else capacity
     lists, _ = jax.vmap(
-        lambda v, n: _bin_lists(v, n, n_bands, capacity, n_cols))(fvi, fnz)
+        lambda v, n: _bin_lists(v, n, n_bands, K, n_cols))(fvi, fnz)
     banded = _gather_rows(rows, lists)                     # (B, NCELL, K, R)
     rowsT = jnp.transpose(banded, (0, 1, 3, 2))            # (B, NCELL, R, K)
     g_c = g_sumlog.reshape(B, n_bands, band_rows, n_cols, cell_w)
     g_c = jnp.transpose(g_c, (0, 1, 3, 2, 4))              # cell-major
     g_banded = g_c.reshape(B, n_cells, npix, 1)
-    G = _bwd_call(rowsT, g_banded, K=capacity, n_cells=n_cells, npix=npix,
-                  width=width, height=height, sigmainv=sigmainv,
-                  interpret=interpret, n_cols=n_cols)      # (B, NCELL, 16, K)
+    if stream:
+        counts = (lists < F).sum(axis=2).astype(jnp.int32)
+        pk, nlive = jax.vmap(
+            lambda c: _build_stream(c, K // 128, n_cells, chunk=128))(counts)
+        G = _bwd_stream_call(pk, nlive, rowsT, g_banded, K128=K,
+                             n_cells=n_cells, npix=npix, width=width,
+                             height=height, sigmainv=sigmainv,
+                             interpret=interpret, n_cols=n_cols)
+    else:
+        G = _bwd_call(rowsT, g_banded, K=capacity, n_cells=n_cells,
+                      npix=npix, width=width, height=height,
+                      sigmainv=sigmainv, interpret=interpret,
+                      n_cols=n_cols)                       # (B, NCELL, 16, K)
 
     def per_image(G_i, lists_i, fvi_i):
         vals = jnp.transpose(G_i[:, :13, :], (0, 2, 1)).reshape(-1, 13)
@@ -710,13 +845,14 @@ def rasterize_fused_v4(fvi, fz, fnz, face_uvs, face_normals, sigmainv=7000.0,
 # the texture_cells lesson) — bitwise-identical outputs, ~occupancy× less
 # kernel work.  The backward reuses the v4 capacity kernel unchanged.
 
-def _build_stream(counts, maxc: int, n_cells: int):
+def _build_stream(counts, maxc: int, n_cells: int, chunk: int = 8):
     """counts (NC,) i32 -> (pk (NC*maxc,) i32, nlive () i32).
 
     pk packs cell (12 b) | chunk (12 b) | first (bit 24) | last (bit 25),
     live entries first in cell-major order; entries past nlive are never
-    executed."""
-    nch = -(-counts // 8)                                  # chunks per cell
+    executed.  ``chunk`` is the faces-per-entry granularity (8 sublane rows
+    for the forward, 128 lanes for the backward)."""
+    nch = -(-counts // chunk)                              # chunks per cell
     ci = jnp.arange(maxc, dtype=jnp.int32)
     live = ci[None, :] < nch[:, None]                      # (NC, maxc)
     cells = jnp.arange(n_cells, dtype=jnp.int32)[:, None]

@@ -49,6 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 BS = 32        # texel rows per block
 BPC = 4        # blocks per chunk -> K = BS * BPC = 128
+XBS = 128      # texel cols per x-window (lane-dim slices need 128-multiples)
 _FAR_Y = -1.0e6    # y sentinel for uncovered pixels (weights vanish)
 _FAR_ROW = 1.0e7   # row sentinel for invalid block slots (weights vanish)
 
@@ -76,30 +77,43 @@ def cell_shape(height: int, width: int):
     return ch, cw
 
 
-def default_chunk_capacity(n_cells: int) -> int:
+def default_chunk_capacity(n_cells: int, n_xw: int = 1) -> int:
     """Static per-image chunk capacity: 2x the cell count covers the
     adversarial camera sweep with ~25% headroom (worst measured 101 live
-    chunks at 64 cells, benchmarks/measure_uv_blocks.py); overflow is
-    counted and the caller falls back to the dense path (still exact).
-    Env MAGICMIRROR_TEX_CAP overrides."""
+    chunks at 64 cells, benchmarks/measure_uv_blocks.py); x-windowing
+    (n_xw > 1) multiplies entries for window-straddling cells, +50%
+    covers it (p50 cells touch one window).  Overflow is counted and the
+    caller falls back to the dense path (still exact).  Env
+    MAGICMIRROR_TEX_CAP overrides."""
     env = os.environ.get("MAGICMIRROR_TEX_CAP")
     if env:
         return int(env)
-    return 2 * n_cells
+    return 2 * n_cells if n_xw <= 1 else 3 * n_cells
 
 
-def _build_chunks(yc, mask_c, Ht: int, tcap: int):
-    """Flattened cell-major chunk stream from cell-layout tap rows.
+def n_x_windows(Wt: int) -> int:
+    """Number of 128-col x-windows (1 = no x-windowing, full-width wx)."""
+    return Wt // XBS if (Wt % XBS == 0 and Wt > XBS) else 1
 
-    yc: (B, NC, npix) f32 texel-row coordinate; mask_c: (B, NC, npix) bool.
+
+def _build_chunks(yc, xc, mask_c, Ht: int, Wt: int, tcap: int):
+    """Flattened cell-major chunk stream from cell-layout tap coordinates.
+
+    yc/xc: (B, NC, npix) f32 texel row/col; mask_c: (B, NC, npix) bool.
+    A chunk is (4 row blocks of 32 texels) × (one 128-col x-window); a
+    cell emits touched-row-chunks × touched-x-windows entries (the x-tent
+    windows partition the x axis, so summing over them is exact bilinear).
     Returns (pk1, pk2, nlive, dropped):
       pk1 (B, tcap) i32: cell | first << 16 | last << 17
-      pk2 (B, tcap) i32: 4 x 5-bit block ids (NBLK == invalid)
+      pk2 (B, tcap) i32: 4 x 5-bit row-block ids (NBLK == invalid)
+                         | x-window id << 20 (3 bits)
       nlive (B,) i32 live chunk count (<= tcap), dropped (B,) i32 overflow.
     """
     B, NC, npix = yc.shape
     NBLK = Ht // BS
+    NXB = n_x_windows(Wt)
     assert NBLK <= 31, "5-bit block packing needs Ht/32 <= 31"
+    assert NXB <= 8, "3-bit x-window packing needs Wt/128 <= 8"
     maxc = -(-NBLK // BPC)
 
     r0 = jnp.clip(jnp.floor(yc), 0, Ht - 1)
@@ -117,59 +131,94 @@ def _build_chunks(yc, mask_c, Ht: int, tcap: int):
     blist = jnp.sort(bkey, axis=-1)                             # (B, NC, NBLK)
     blist_p = jnp.concatenate(
         [blist, jnp.full((B, NC, (-NBLK) % BPC + BPC), NBLK, jnp.int32)], -1)
+    nchunks = -(-cnt // BPC)                                    # (B, NC)
+
+    # touched x-windows per cell (sorted ids ascending, NXB pad)
+    if NXB > 1:
+        x0 = jnp.clip(jnp.floor(xc), 0, Wt - 1)
+        x1 = jnp.clip(jnp.floor(xc) + 1, 0, Wt - 1)
+        xb_iota = jnp.arange(NXB, dtype=jnp.int32)
+        touched_x = jnp.zeros((B, NC, NXB), bool)
+        for xxb in ((x0 // XBS).astype(jnp.int32),
+                    (x1 // XBS).astype(jnp.int32)):
+            eqx = (xxb[..., None] == xb_iota) & mask_c[..., None]
+            touched_x = touched_x | eqx.any(axis=2)
+        nxb = touched_x.sum(-1).astype(jnp.int32)               # (B, NC)
+        xkey = jnp.where(touched_x, xb_iota[None, None], NXB)
+        xlist = jnp.sort(xkey, axis=-1)                         # (B, NC, NXB)
+    else:
+        nxb = (nchunks > 0).astype(jnp.int32)
+        xlist = jnp.zeros((B, NC, 1), jnp.int32)
 
     # empty cells get ZERO chunks — the kernel pre-zeroes the output block
-    # per image, so untouched cells are already correct
-    nchunks = -(-cnt // BPC)                                    # (B, NC)
-    ci = jnp.arange(maxc, dtype=jnp.int32)
-    live = ci[None, None, :] < nchunks[..., None]               # (B, NC, maxc)
+    # per image, so untouched cells are already correct.  Slot layout per
+    # cell: s = xw_idx * maxc + ci (all row chunks, per touched x-window).
+    S = maxc * NXB
+    si = jnp.arange(S, dtype=jnp.int32)
+    xw_idx = si // maxc
+    ci = si - xw_idx * maxc
+    live = ((ci[None, None, :] < nchunks[..., None])
+            & (xw_idx[None, None, :] < nxb[..., None]))         # (B, NC, S)
     cell_ids = jnp.broadcast_to(
         jnp.arange(NC, dtype=jnp.int32)[None, :, None], live.shape)
-    slot = cell_ids * maxc + ci[None, None, :]
-    key = jnp.where(live, slot, NC * maxc)
+    slot = cell_ids * S + si[None, None, :]
+    key = jnp.where(live, slot, NC * S)
     order = jnp.argsort(key.reshape(B, -1), axis=-1)            # live first
     nlive_total = live.reshape(B, -1).sum(-1).astype(jnp.int32)
     dropped = jnp.maximum(nlive_total - tcap, 0)
     nlive = jnp.minimum(nlive_total, tcap)
 
     take = order[:, :tcap]                                      # (B, tcap)
+
+    def gsel(arr3):  # (B, NC, S) -> (B, tcap) along flattened (NC, S)
+        return jnp.take_along_axis(
+            jnp.broadcast_to(arr3, live.shape).reshape(B, -1), take, 1)
+
     t_cell = jnp.take_along_axis(cell_ids.reshape(B, -1), take, 1)
-    t_ci = jnp.take_along_axis(
-        jnp.broadcast_to(ci[None, None, :], live.shape).reshape(B, -1), take, 1)
+    t_ci = gsel(ci[None, None, :])
+    t_xw = gsel(xw_idx[None, None, :])
     t_live = jnp.take_along_axis(live.reshape(B, -1), take, 1)
-    t_n = jnp.take_along_axis(
-        jnp.broadcast_to(nchunks[..., None], live.shape).reshape(B, -1), take, 1)
-    first = (t_ci == 0).astype(jnp.int32)
-    last = (t_ci == t_n - 1).astype(jnp.int32)
+    t_n = gsel(nchunks[..., None])
+    t_nx = gsel(nxb[..., None])
+    first = ((t_ci == 0) & (t_xw == 0)).astype(jnp.int32)
+    last = ((t_ci == t_n - 1) & (t_xw == t_nx - 1)).astype(jnp.int32)
     # dead slots -> garbage cell NC, standalone chunk, invalid blocks
     cell_f = jnp.where(t_live, t_cell, NC)
     pk1 = cell_f | jnp.where(t_live, first, 1) << 16 | (
         jnp.where(t_live, last, 1) << 17)
-    # block ids of the chunk: blist[cell, ci*BPC + j]
     base = jnp.where(t_live, t_cell, 0)
+    bsel = jnp.arange(B)[:, None]
+    # row-block ids of the chunk: blist[cell, ci*BPC + j]
     js = t_ci[..., None] * BPC + jnp.arange(BPC, dtype=jnp.int32)
     blk = jnp.take_along_axis(
-        blist_p.reshape(B, NC, -1)[jnp.arange(B)[:, None], base],
-        js, axis=-1)                                            # (B, tcap, BPC)
+        blist_p.reshape(B, NC, -1)[bsel, base], js, axis=-1)    # (B, tcap, BPC)
     blk = jnp.where(t_live[..., None], blk, NBLK)
+    # x-window id of the chunk: xlist[cell, xw_idx]
+    xb = jnp.take_along_axis(xlist[bsel, base],
+                             jnp.minimum(t_xw, xlist.shape[-1] - 1)[..., None],
+                             axis=-1)[..., 0]
+    xb = jnp.clip(jnp.where(t_live, xb, 0), 0, max(NXB - 1, 0))
     pk2 = (blk[..., 0] | blk[..., 1] << 5 | blk[..., 2] << 10
-           | blk[..., 3] << 15)
+           | blk[..., 3] << 15 | xb << 20)
     return (pk1.astype(jnp.int32), pk2.astype(jnp.int32),
             nlive.astype(jnp.int32), dropped.astype(jnp.int32))
 
 
 def _tex_kernel(pk1_ref, pk2_ref, nlive_ref, tex_ref, yc_ref, xc_ref,
-                out_ref, acc, *, Ht, Wt, NC, npix, NBLK):
+                out_ref, acc, *, Ht, Wt, NC, npix, NBLK, NXB):
     """Per image: zero the output once, then walk the live chunk stream.
 
-    Contraction order is x-FIRST: z_c = win_c (K, Wt) @ wx (Wt, npix) on the
+    Contraction order is x-FIRST: z_c = win_c (K, XW) @ wx (XW, npix) on the
     MXU, then the row weights reduce over K sublanes — the (Wt, npix)
     accumulator of the naive order (3 MB zero-init per cell + re-read at the
-    cell finalize, measured 3.7 + 3.4 ms/batch) never exists.  Mathematically
-    identical to the dense path; bf16 rounding differs only by summation
-    order."""
+    cell finalize, measured 3.7 + 3.4 ms/batch) never exists.  With
+    NXB > 1 the x axis is additionally windowed into 128-col blocks (the
+    tent windows partition x, so accumulating over a cell's touched windows
+    is exact bilinear at ~1/NXB the MXU work).  Mathematically identical to
+    the dense path; bf16 rounding differs only by summation order."""
     b = pl.program_id(0)
     K = BS * BPC
+    XW = XBS if NXB > 1 else Wt
 
     out_ref[...] = jnp.zeros((1, NC + 1, 8, npix), jnp.float32)
 
@@ -179,6 +228,7 @@ def _tex_kernel(pk1_ref, pk2_ref, nlive_ref, tex_ref, yc_ref, xc_ref,
         cell = p1 & 0xFFFF
         first = (p1 >> 16) & 1
         last = (p1 >> 17) & 1
+        xb = (p2 >> 20) & 7
 
         @pl.when(first == 1)
         def _():
@@ -195,17 +245,22 @@ def _tex_kernel(pk1_ref, pk2_ref, nlive_ref, tex_ref, yc_ref, xc_ref,
         w = jax.nn.relu(1.0 - jnp.abs(rowv - y))                # (K, npix)
 
         xv = xc_ref[0, pl.ds(cell, 1), :]                       # (1, npix)
-        xi = jax.lax.broadcasted_iota(jnp.int32, (Wt, 1), 0
-                                      ).astype(jnp.float32)
+        xi = (jax.lax.broadcasted_iota(jnp.int32, (XW, 1), 0)
+              + xb * XW).astype(jnp.float32)
         wx = jax.nn.relu(1.0 - jnp.abs(xi - xv)).astype(jnp.bfloat16)
 
+        xoff = pl.multiple_of(xb * XW, XW)
         part = [acc[0:1], acc[1:2], acc[2:3]]
         for c in range(3):
             parts = []
             for j in range(BPC):
                 bj = jnp.clip((p2 >> (5 * j)) & 31, 0, NBLK - 1)
-                parts.append(tex_ref[0, pl.ds(c * Ht + BS * bj, BS), :])
-            win = jnp.concatenate(parts, axis=0)                # (K, Wt) bf16
+                if NXB > 1:
+                    parts.append(tex_ref[0, pl.ds(c * Ht + BS * bj, BS),
+                                         pl.ds(xoff, XW)])
+                else:
+                    parts.append(tex_ref[0, pl.ds(c * Ht + BS * bj, BS), :])
+            win = jnp.concatenate(parts, axis=0)                # (K, XW) bf16
             z = jax.lax.dot_general(
                 win, wx, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)             # (K, npix)
@@ -223,7 +278,7 @@ def _tex_kernel(pk1_ref, pk2_ref, nlive_ref, tex_ref, yc_ref, xc_ref,
 def _tex_call(pk1, pk2, nlive, texT, yc, xc, *, Ht, Wt, NC, npix, interpret):
     B = texT.shape[0]
     kernel = functools.partial(_tex_kernel, Ht=Ht, Wt=Wt, NC=NC, npix=npix,
-                               NBLK=Ht // BS)
+                               NBLK=Ht // BS, NXB=n_x_windows(Wt))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B,),
@@ -287,14 +342,14 @@ def _texture_cells_fwd_impl(texcoord, textures, texmask, interpret):
     ch, cw = cell_shape(H, W)
     NC = (H // ch) * (W // cw)
     npix = ch * cw
-    tcap = default_chunk_capacity(NC)
+    tcap = default_chunk_capacity(NC, n_x_windows(Wt))
 
     y, x = _uv_to_texels(texcoord, Ht, Wt)
     m = texmask > 0.5
     yc = _to_cells(jnp.where(m, y, _FAR_Y), ch, cw)
     xc = _to_cells(x, ch, cw)
     mc = _to_cells(m.astype(jnp.float32), ch, cw) > 0.5
-    pk1, pk2, nlive, dropped = _build_chunks(yc, mc, Ht, tcap)
+    pk1, pk2, nlive, dropped = _build_chunks(yc, xc, mc, Ht, Wt, tcap)
 
     texT = jnp.transpose(textures, (0, 3, 1, 2)).reshape(
         B, C * Ht, Wt).astype(jnp.bfloat16)
@@ -352,6 +407,8 @@ def texture_render(texcoord, textures, texmask, interpret=None):
 def supported(height: int, width: int, tex_h: int, tex_w: int, C: int) -> bool:
     """Static applicability of the kernel path."""
     if C != 3 or tex_h // BS > 31 or tex_h % BS:
+        return False
+    if n_x_windows(tex_w) > 8:
         return False
     ch, cw = cell_shape(height, width)
     if height % ch or width % cw:

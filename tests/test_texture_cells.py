@@ -96,6 +96,33 @@ def test_default_capacity_covers_bench_cells():
     assert default_chunk_capacity(nc) >= 2 * nc
 
 
+def test_x_windowed_path_matches_dense():
+    """Wt > 128 engages the 128-col x-window stream (the bench shape);
+    accumulating over a cell's touched windows must still be exact
+    bilinear."""
+    from magicmirror.ops.pallas.texture_cells import n_x_windows
+
+    rs = np.random.RandomState(3)
+    Ht2, Wt2 = 128, 256
+    assert n_x_windows(Wt2) == 2
+    uv = jnp.asarray(rs.rand(B, H, W, 2), jnp.float32)
+    tex = jnp.asarray(rs.rand(B, Ht2, Wt2, 3), jnp.float32)
+    mask = jnp.asarray((rs.rand(B, H, W) > 0.3).astype(np.float32))
+    out, dropped = texture_render(uv, tex, mask, interpret=True)
+    ref = _masked_dense(uv, tex, mask)
+    assert np.all(np.asarray(dropped) == 0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=8e-3)
+    # straddling taps: uv concentrated around the window boundary x=128
+    uvb = jnp.asarray(
+        np.stack([np.full((B, H, W), 0.5) + rs.uniform(-0.02, 0.02,
+                                                       (B, H, W)),
+                  rs.rand(B, H, W)], -1), jnp.float32)
+    out2, d2 = texture_render(uvb, tex, mask, interpret=True)
+    ref2 = _masked_dense(uvb, tex, mask)
+    assert np.all(np.asarray(d2) == 0)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), atol=8e-3)
+
+
 def test_renderer_integration_parity(monkeypatch):
     """DiffRender with the cell kernel forced on == forced off (v4 path)."""
     from magicmirror.render.renderer import DiffRender
