@@ -240,6 +240,8 @@ def make_train_step(opt, diffRender, netE, netD, opt_e, opt_d, lpl,
         # carry one float diagnostic instead
         drops = [a.pop("dropped_faces") for a in (Ae, Ai, Aire)
                  if isinstance(a, dict) and "dropped_faces" in a]
+        tex_drops = [a.pop("dropped_tex_chunks") for a in (Ae, Ai, Aire)
+                     if isinstance(a, dict) and "dropped_tex_chunks" in a]
         outs = {
             "Xer": Xer, "Xir": Xir, "Xer90": Xer90,
             "Ma": Ma, "Mer90": Mer90, "Mir": Mir,
@@ -248,6 +250,12 @@ def make_train_step(opt, diffRender, netE, netD, opt_e, opt_d, lpl,
         if drops:
             outs["dropped_faces"] = jax.lax.stop_gradient(
                 sum(jnp.sum(d) for d in drops).astype(jnp.float32))
+        if tex_drops:
+            # texture-stream overflow: images that fell back to the (exact)
+            # dense sampler this step — a perf regression signal, not an
+            # accuracy one
+            outs["dropped_tex_chunks"] = jax.lax.stop_gradient(
+                sum(jnp.sum(d) for d in tex_drops).astype(jnp.float32))
         # disentangle branches (reference trainer.py:456-494)
         if opt.dis1 > 0:
             Ae_fliplr, stats2 = apply_e(params_e, stats2, _fliplr(Xa),
@@ -369,6 +377,8 @@ def make_train_step(opt, diffRender, netE, netD, opt_e, opt_d, lpl,
         # 0 — a nonzero count means band_capacity needs raising
         if "dropped_faces" in outs:
             metrics["dropped_faces"] = outs["dropped_faces"]
+        if "dropped_tex_chunks" in outs:
+            metrics["dropped_tex_chunks"] = outs["dropped_tex_chunks"]
         return lossR, metrics
 
     def train_step(state, Xa, rng, lr_e, lr_d, warm_up, train_shape, Va=None):
