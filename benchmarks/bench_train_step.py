@@ -55,28 +55,45 @@ def main():
     state = create_train_state(jax.random.PRNGKey(0), netE, netD, opt_e,
                                opt_d, jnp.zeros((B, H, S, 4)),
                                dr.vertices_init, lpl)
-    # donate=True is what the real trainer runs (train/trainer.py):
-    # donated buffers let XLA reuse the 30M-param state in place
+    # donate=False is the trainer's default (train/trainer.py): donation
+    # measured 15-27% SLOWER per step through the remote-execution path
+    # (b48/128²: 775 vs 566 ms) and HBM is not the constraint at these
+    # shapes.  DONATE=1 reproduces the donated configuration.
+    spc = int(_os.environ.get("SPC", "1"))
     step = make_train_step(opt, dr, netE, netD, opt_e, opt_d, lpl,
-                           donate=True)
+                           donate=_os.environ.get("DONATE", "0") == "1",
+                           steps_per_call=spc)
     rs = np.random.RandomState(0)
-    Xa = jnp.asarray(rs.rand(B, H, S, 4).astype(np.float32))
     rng = jax.random.PRNGKey(0)
+    if spc > 1:
+        Xa = jnp.asarray(rs.rand(spc, B, H, S, 4).astype(np.float32))
+        warms = jnp.ones((spc,), jnp.float32)
+
+        def call(st, k):
+            ks = jax.random.split(k, spc)
+            return step(st, Xa, ks, 1e-4, 1e-4, warms, 0)
+    else:
+        Xa = jnp.asarray(rs.rand(B, H, S, 4).astype(np.float32))
+
+        def call(st, k):
+            return step(st, Xa, k, 1e-4, 1e-4, 1.0, 0)
     t0 = time.perf_counter()
-    state, m, *_ = step(state, Xa, rng, 1e-4, 1e-4, 1.0, 0)
+    state, m, *_ = call(state, rng)
     jax.block_until_ready(m["lossR"])
     print(f"compile+first step: {time.perf_counter()-t0:.1f}s")
     iters = int(_os.environ.get("ITERS", "10"))
     t0 = time.perf_counter()
     for i in range(iters):
         rng, sub = jax.random.split(rng)
-        state, m, *_ = step(state, Xa, sub, 1e-4, 1e-4, 1.0, 0)
+        state, m, *_ = call(state, sub)
     jax.block_until_ready(m["lossR"])
-    dt = (time.perf_counter() - t0) / iters
+    dt = (time.perf_counter() - t0) / (iters * spc)
     row = {"metric": "train_step_imgs_per_sec", "batch": B,
            "shape": [H, S], "step_ms": round(dt * 1e3, 1),
            "value": round(B / dt, 1)}
-    print(f"train step (B={B}, {H}x{S}): {dt*1e3:.1f} ms → "
+    if spc > 1:
+        row["steps_per_call"] = spc
+    print(f"train step (B={B}, {H}x{S}, spc={spc}): {dt*1e3:.1f} ms → "
           f"{B/dt:.1f} imgs/sec ({dt:.3f} s/step)")
     print(json.dumps(row))
     out = _os.environ.get("JSON_OUT")

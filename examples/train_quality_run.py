@@ -52,7 +52,19 @@ def main():
     ap.add_argument("--swa_start", type=int, default=-1,
                     help="step to start SWA averaging (-1 = off)")
     ap.add_argument("--swa_every", type=int, default=500)
+    ap.add_argument("--steps_per_call", type=int, default=1,
+                    help="iterations per jitted dispatch (lax.scan; "
+                    "amortizes remote-dispatch overhead).  Must divide "
+                    "eval/em/swa cadences; lr is held constant within a "
+                    "group (<=spc/steps relative drift)")
     args = ap.parse_args()
+    spc = max(1, args.steps_per_call)
+    for name, cad in (("eval_every", args.eval_every),
+                      ("em_every", args.em_every),
+                      ("swa_every", args.swa_every)):
+        assert cad % spc == 0 or cad == 0, (
+            f"--steps_per_call must divide --{name}")
+    assert args.steps % spc == 0, "--steps_per_call must divide --steps"
 
     from magicmirror.configs.flags import build_parser
     from magicmirror.eval.images import save_array_image
@@ -88,7 +100,7 @@ def main():
     state = create_train_state(jax.random.PRNGKey(0), netE, netD, opt_e,
                                opt_d, sample, dr.vertices_init, lpl)
     step = make_train_step(opt, dr, netE, netD, opt_e, opt_d, lpl,
-                           donate=False)
+                           donate=False, steps_per_call=spc)
 
     train_batches = [
         jnp.asarray(make_synthetic_batch(dr, s, args.batch, args.size))
@@ -123,13 +135,26 @@ def main():
     rows = []
     rng = jax.random.PRNGKey(0)
     t0 = time.time()
-    for i in range(args.steps):
+    for i in range(0, args.steps, spc):
         rng, sub = jax.random.split(rng)
         warm = min(1.0, 0.01 + i / 50.0)
         lr = args.lr * (0.5 * (1 + np.cos(np.pi * i / args.steps)))
-        state, metrics, Xer, _ = step(
-            state, train_batches[i % len(train_batches)], sub,
-            lr, lr, warm, 0)
+        if spc == 1:
+            state, metrics, Xer, _ = step(
+                state, train_batches[i % len(train_batches)], sub,
+                lr, lr, warm, 0)
+        else:
+            Xa_st = jnp.stack([train_batches[(i + j) % len(train_batches)]
+                               for j in range(spc)])
+            warms = jnp.asarray(
+                [min(1.0, 0.01 + (i + j) / 50.0) for j in range(spc)],
+                jnp.float32)
+            state, ms, Xer, _ = step(
+                state, Xa_st, jax.random.split(sub, spc), lr, lr, warms, 0)
+            metrics = {k: v[-1] for k, v in ms.items()}
+        # cadences below key on the group-START index i (spc=1: identical to
+        # the original schedule; spc>1: each fires at the same i, evaluated
+        # spc-1 steps later — group boundaries align since spc | cadence)
         if args.em_every and i > 0 and i % args.em_every == 0:
             # EM template update over the full synthetic train set
             # (reference trainer.py:979-1105 cadence, per-step granularity)
@@ -150,16 +175,24 @@ def main():
         if (args.swa_start >= 0 and i >= args.swa_start
                 and (i - args.swa_start) % args.swa_every == 0):
             state = swa_update(state)
-        if i % args.eval_every == 0 or i == args.steps - 1:
+        if i % args.eval_every == 0 or i + spc >= args.steps:
             s, iou, rgba, diag = eval_metrics(state, eval_batch)
+            # same metrics on a TRAIN batch: a widening train-vs-heldout gap
+            # is the memorization signature suspected behind the round-2
+            # post-6k decay (VERDICT r2 weak-4)
+            s_tr, iou_tr, _, _ = eval_metrics(state, train_batches[0])
             tdrift = float(jnp.max(jnp.abs(state.template
                                            - dr.vertices_init)))
             row = dict(step=i, wall_s=round(time.time() - t0, 1),
                        ssim=round(float(s), 4), mask_iou=round(float(iou), 4),
+                       ssim_train=round(float(s_tr), 4),
+                       iou_train=round(float(iou_tr), 4),
                        lossR_data=round(float(metrics["lossR_data"]), 4),
                        lossR_fake=round(float(metrics["lossR_fake"]), 4),
                        lossD=round(float(metrics["lossD"]), 5),
                        dropped=int(float(metrics.get("dropped_faces", 0.0))),
+                       tex_drop=int(float(
+                           metrics.get("dropped_tex_chunks", 0.0))),
                        dist=round(float(diag["dist"]), 2),
                        elev=round(float(diag["elev"]), 1),
                        mask=round(float(diag["mask"]), 3),

@@ -122,6 +122,18 @@ def build_parser(defaults: dict | None = None) -> argparse.ArgumentParser:
     a("--raster_backend", type=str, default="auto",
       choices=["auto", "pallas", "pallas_v3", "xla"],
       help="rasterizer backend; auto = pallas on TPU, xla elsewhere")
+    a("--steps_per_call", type=int, default=1,
+      help="train iterations executed per jitted dispatch (lax.scan). "
+           ">1 amortizes the per-step host overhead of the remote-execution "
+           "path (~56 ms at b16/128²); semantics identical to 1 (same math, "
+           "same per-iteration prints).  Groups split automatically at "
+           "train_shape changes and epoch tails")
+    a("--donate_state", action="store_true",
+      help="donate the train-state buffers to the jitted step (in-place "
+           "update).  Saves one state copy of HBM but measured 15-27%% "
+           "SLOWER per step through the remote-execution path "
+           "(benchmarks/bench_train_step.py DONATE=1; docs/DESIGN.md "
+           "train-step table) — off by default, enable only when HBM-bound")
     if defaults:
         p.set_defaults(**defaults)
     return p

@@ -50,6 +50,12 @@ R_FUSED = R_PLAIN + 9
 
 _DEN_EPS = 1e-10
 _P_CLAMP = 1.0 - 1e-7
+# The stream kernels' fori_loop bodies carry enough live (TPS, 128) temps
+# that XLA's default 16 MB scoped-vmem budget overflows marginally at large
+# batch (b48/128²: 16.05M, a 52K overshoot).  v5e has 128 MB of physical
+# VMEM per core; raise the per-kernel ceiling instead of shrinking tiles.
+_STREAM_COMPILER_PARAMS = pltpu.CompilerParams(
+    vmem_limit_bytes=64 * 1024 * 1024)
 _SOFT_MARGIN = 0.035   # p < 2e-4 at sigmainv=7000 beyond this distance
 _BIG_D = 3.0e4         # "infinitely far" line distance for dead faces
 _DEAD_Z = -1.0e30      # z for degenerate-but-front faces (never "covered")
@@ -595,6 +601,7 @@ def _bwd_stream_call(pk, nlive, rowsT, g_banded, *, K128, n_cells, npix,
     return pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, n_cells, 16, K128), jnp.float32),
+        compiler_params=_STREAM_COMPILER_PARAMS,
         interpret=interpret)(pk, nlive, rowsT, g_banded)
 
 
@@ -990,6 +997,7 @@ def _fwd_stream_call(pk, nlive, rows_banded, *, n_bands, npix, width, height,
         scratch_shapes=[pltpu.VMEM((64, npix), jnp.float32)],
     )
     outs = pl.pallas_call(kernel, grid_spec=grid_spec, out_shape=out_shape,
+                          compiler_params=_STREAM_COMPILER_PARAMS,
                           interpret=interpret)(pk, nlive, rows_banded)
     return [_uncell(o, B, n_bands, n_cols, band_rows_, cell_w) for o in outs]
 

@@ -122,8 +122,15 @@ def regularization(diffRender, Ae, Ai, Aire, opt):
 
 
 def make_train_step(opt, diffRender, netE, netD, opt_e, opt_d, lpl,
-                    precond_M=None, donate: bool = True):
-    """Build the jitted train step.  ``opt`` is the (static) flag namespace."""
+                    precond_M=None, donate: bool = False,
+                    steps_per_call: int = 1):
+    """Build the jitted train step.  ``opt`` is the (static) flag namespace.
+
+    ``steps_per_call`` > 1 returns a scanned variant executing that many
+    sequential D+G steps per dispatch (stacked inputs) — amortizes the
+    per-step host dispatch of the remote-execution path (~56 ms at
+    b16/128², docs/DESIGN.md train-step table).  Semantics are identical
+    to calling the 1-step fn N times (tests/test_train_step.py)."""
 
     def apply_e(params, stats, x, template, rng, train_shape):
         variables = {"params": params, "batch_stats": stats}
@@ -410,6 +417,41 @@ def make_train_step(opt, diffRender, netE, netD, opt_e, opt_d, lpl,
             opt_state_e=new_opt_e, opt_state_d=new_opt_d,
             step=state.step + 1)
         return new_state, metrics, outs["Xer"], outs["Xir"]
+
+    if steps_per_call > 1:
+        N = int(steps_per_call)
+
+        def train_scan(state, Xa_stack, rngs, lr_e, lr_d, warm_ups,
+                       train_shape, Va_stack=None):
+            """N sequential full D+G steps in ONE dispatch (lax.scan).
+
+            Xa_stack (N, B, H, W, 4); rngs (N,) key batch; warm_ups (N,).
+            Returns the final state plus EVERY step's metrics stacked (N,)
+            so the caller keeps the reference's per-iteration print cadence,
+            and the LAST step's Xer/Xir for artifact dumps."""
+            if Va_stack is None:
+                xs = (Xa_stack, rngs, warm_ups)
+
+                def body(st, x):
+                    Xa_i, rng_i, warm_i = x
+                    st2, metrics, Xer, Xir = train_step(
+                        st, Xa_i, rng_i, lr_e, lr_d, warm_i, train_shape)
+                    return st2, (metrics, Xer, Xir)
+            else:
+                xs = (Xa_stack, rngs, warm_ups, Va_stack)
+
+                def body(st, x):
+                    Xa_i, rng_i, warm_i, Va_i = x
+                    st2, metrics, Xer, Xir = train_step(
+                        st, Xa_i, rng_i, lr_e, lr_d, warm_i, train_shape,
+                        Va_i)
+                    return st2, (metrics, Xer, Xir)
+
+            state, (ms, Xers, Xirs) = jax.lax.scan(body, state, xs, length=N)
+            return state, ms, Xers[-1], Xirs[-1]
+
+        return jax.jit(train_scan, static_argnames=("train_shape",),
+                       donate_argnums=(0,) if donate else ())
 
     return jax.jit(train_step, static_argnames=("train_shape",),
                    donate_argnums=(0,) if donate else ())

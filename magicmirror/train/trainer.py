@@ -247,7 +247,16 @@ def trainer(opt, train_dataloader, test_dataloader, train_noaug_dataloader):
         os.makedirs(d, exist_ok=True)
 
     train_step = make_train_step(opt, diffRender, netE, netD, opt_e, opt_d,
-                                 lpl, precond_M=precond_M)
+                                 lpl, precond_M=precond_M,
+                                 donate=getattr(opt, "donate_state", False))
+    # --steps_per_call N > 1: a scanned step executes N iterations per
+    # dispatch, amortizing the per-step host overhead of the remote-execution
+    # path (docs/DESIGN.md train-step table).  The 1-step fn above still
+    # handles ragged tails and train_shape changes mid-group.
+    spc = max(1, int(getattr(opt, "steps_per_call", 1)))
+    scan_step = None if spc == 1 else make_train_step(
+        opt, diffRender, netE, netD, opt_e, opt_d, lpl, precond_M=precond_M,
+        donate=getattr(opt, "donate_state", False), steps_per_call=spc)
     eval_step = make_eval_step(netE, diffRender, lpl, opt)
     encode_sweep = make_encode_sweep(netE, diffRender, lpl)
 
@@ -265,32 +274,80 @@ def trainer(opt, train_dataloader, test_dataloader, train_noaug_dataloader):
     warm_iteration = len(train_dataloader) * opt.warm_epoch
     print("Model will warm up in %d iterations" % warm_iteration)
 
+    def to_device_stacked(x):
+        """(N, B, ...) host array -> device, batch axis 1 sharded."""
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(mesh, P(None, "data"))
+            if jax.process_count() == 1:
+                return jax.device_put(jnp.asarray(x), sh)
+            return jax.make_array_from_process_local_data(sh, np.asarray(x))
+        return jnp.asarray(x)
+
+    def print_iter(epoch, it, n_iters, m):
+        print("Name:", outf)
+        print("[%d/%d][%d/%d] lossD: %.4f lossR: %.4f "
+              "(fake %.4f reg %.4f data %.4f IC %.4f dis %.4f)" % (
+                  epoch, opt.niter, it, n_iters,
+                  m["lossD"], m["lossR"], m["lossR_fake"],
+                  m["lossR_reg"], m["lossR_data"], m["lossR_IC"],
+                  m["lossR_dis"]))
+
     last_batch = None
     last_Xer = last_Xir = None
     last_att = None
     for epoch in range(start_epoch, opt.niter + 1):
+        lr_e = lr_schedule(opt.scheduler, epoch, opt.niter, opt.lr, opt.gamma)
+        lr_d = lr_e
+        n_iters = len(train_dataloader)
+        group = []
+
+        def flush_group():
+            nonlocal state, last_batch, last_Xer, last_Xir
+            if not group:
+                return
+            if scan_step is not None and len(group) == spc:
+                Xa_st = to_device_stacked(np.stack([g["Xa"] for g in group]))
+                rngs = jnp.stack([g["rng"] for g in group])
+                warms = jnp.asarray([g["warm"] for g in group], jnp.float32)
+                Va_st = (jnp.stack([g["Va"] for g in group])
+                         if group[0]["Va"] is not None else None)
+                state, ms, Xer, Xir = scan_step(
+                    state, Xa_st, rngs, lr_e, lr_d, warms,
+                    group[0]["ts"], Va_st)
+                for j, g in enumerate(group):
+                    if g["it"] % 10 == 0:
+                        print_iter(epoch, g["it"], n_iters,
+                                   {k: float(v[j]) for k, v in ms.items()})
+                last_batch = jnp.asarray(group[-1]["Xa"])
+                last_Xer, last_Xir = Xer, Xir
+            else:
+                for g in group:
+                    Xa = to_device(jnp.asarray(g["Xa"]))
+                    state, metrics, Xer, Xir = train_step(
+                        state, Xa, g["rng"], lr_e, lr_d, g["warm"],
+                        g["ts"], g["Va"])
+                    if g["it"] % 10 == 0:
+                        print_iter(epoch, g["it"], n_iters,
+                                   {k: float(v) for k, v in metrics.items()})
+                    last_batch, last_Xer, last_Xir = Xa, Xer, Xir
+            group.clear()
+
         for it, data in enumerate(train_dataloader):
             if epoch < opt.warm_epoch:
                 warm_up = min(1.0, warm_up + 0.99 / warm_iteration)
-            Xa = to_device(_batch_images(data))
             Va = jnp.asarray(np.stack(data["obj"])) if (
                 opt.hmr > 0 and "obj" in data) else None
             train_shape = _train_shape_policy(opt, it)
-            lr_e = lr_schedule(opt.scheduler, epoch, opt.niter, opt.lr, opt.gamma)
-            lr_d = lr_e
             rng, sub = jax.random.split(rng)
-            state, metrics, Xer, Xir = train_step(
-                state, Xa, sub, lr_e, lr_d, warm_up, train_shape, Va)
-            if it % 10 == 0:
-                m = {k: float(v) for k, v in metrics.items()}
-                print("Name:", outf)
-                print("[%d/%d][%d/%d] lossD: %.4f lossR: %.4f "
-                      "(fake %.4f reg %.4f data %.4f IC %.4f dis %.4f)" % (
-                          epoch, opt.niter, it, len(train_dataloader),
-                          m["lossD"], m["lossR"], m["lossR_fake"],
-                          m["lossR_reg"], m["lossR_data"], m["lossR_IC"],
-                          m["lossR_dis"]))
-            last_batch, last_Xer, last_Xir = Xa, Xer, Xir
+            if group and group[-1]["ts"] != train_shape:
+                flush_group()  # static train_shape changed mid-group
+            group.append(dict(Xa=np.asarray(data["images"]), rng=sub,
+                              warm=warm_up, ts=train_shape, Va=Va, it=it))
+            if len(group) == spc:
+                flush_group()
+        flush_group()
 
         if opt.swa and epoch >= opt.swa_start and epoch % opt.swa_interval == 0:
             state = swa_update(state)

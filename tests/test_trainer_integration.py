@@ -34,12 +34,16 @@ def synth_tree(tmp_path):
     return str(tmp_path)
 
 
-def test_trainer_two_epochs(synth_tree, tmp_path, monkeypatch):
+@pytest.mark.parametrize("spc", [1, 2])
+def test_trainer_two_epochs(synth_tree, tmp_path, monkeypatch, spc):
     monkeypatch.chdir(tmp_path)
     monkeypatch.setattr(trainer_mod, "calculate_fid_given_paths",
                         lambda paths, bs: 123.0)
 
     opt = build_parser().parse_args([])
+    # spc=2 groups the epoch's 2 iterations into ONE scanned dispatch
+    # (train/trainer.py flush_group) — the scan path through the real loop
+    opt.steps_per_call = spc
     opt.name = "smoke"
     opt.outf = str(tmp_path / "log" / "smoke")
     os.makedirs(opt.outf, exist_ok=True)
