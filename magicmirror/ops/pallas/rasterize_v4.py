@@ -492,11 +492,23 @@ def _bwd_stream_kernel(pk_ref, nlive_ref, rowsT_ref, g_ref, out_ref, *,
     independently reduces its moments over the cell's pixels and writes its
     lane slice — no cross-item state; empty cells/windows stay pre-zeroed.
     Dead (padded) face slots produce exactly-zero moments (their p_soft
-    underflows to 0)."""
+    underflows to 0).
+
+    ``g_ref`` is (1, n_cells, npix // 128, 128) — pixels on LANES, exact
+    VMEM size.  A (npix, 1) column layout would be lane-padded 128x by
+    Mosaic (the whole per-image g block sits in VMEM at once because the
+    cell walk is dynamic), which overflowed scoped VMEM at 256² big
+    templates.  Each 128-pixel row is transposed to the (128, 1) sublane
+    column the moment tiles need via a one-hot MXU matmul — exact at
+    HIGHEST precision (one nonzero term per output; same argument as
+    _gather_rows)."""
     b = pl.program_id(0)
     out_ref[...] = jnp.zeros(out_ref.shape, jnp.float32)
     cell_w = width // n_cols
     band_rows_ = npix // cell_w
+    ii = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    eye128 = (ii == jj).astype(jnp.float32)
 
     def body(t, carry):
         p = pk_ref[b, t]
@@ -517,8 +529,8 @@ def _bwd_stream_kernel(pk_ref, nlive_ref, rowsT_ref, g_ref, out_ref, *,
         colb = cell - band * n_cols
 
         def sub(s, acc):
-            lane = jax.lax.broadcasted_iota(jnp.int32, (_BWD_TPS, 1), 0)
-            flat = s * _BWD_TPS + lane
+            lane = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+            flat = s * 128 + lane
             r = flat // cell_w
             xi = flat - r * cell_w
             row = band * band_rows_ + r
@@ -527,8 +539,11 @@ def _bwd_stream_kernel(pk_ref, nlive_ref, rowsT_ref, g_ref, out_ref, *,
                 1.0 / width - 1.0)
             p_y = row.astype(jnp.float32) * (-2.0 / height) + (
                 1.0 - 1.0 / height)
-            g = g_ref[0, pl.ds(cell, 1),
-                      pl.ds(s * _BWD_TPS, _BWD_TPS), :][0]    # (TPS, 1)
+            grow = g_ref[0, pl.ds(cell, 1), s, :]              # (1, 128)
+            g = jax.lax.dot_general(                           # (128, 1)
+                eye128, grow, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
 
             d0 = a0x * p_x + a0y * p_y + a0c                  # (TPS, 128)
             d1 = a1x * p_x + a1y * p_y + a1c
@@ -569,7 +584,7 @@ def _bwd_stream_kernel(pk_ref, nlive_ref, rowsT_ref, g_ref, out_ref, *,
             return tuple(a + tt for a, tt in zip(acc, terms))
 
         init = tuple(jnp.zeros((1, 128), jnp.float32) for _ in range(13))
-        acc = jax.lax.fori_loop(0, npix // _BWD_TPS, sub, init)
+        acc = jax.lax.fori_loop(0, npix // 128, sub, init)
         for j in range(13):
             out_ref[0, pl.ds(cell, 1), j, pl.ds(woff, 128)] = acc[j]
         return carry
@@ -591,7 +606,8 @@ def _bwd_stream_call(pk, nlive, rowsT, g_banded, *, K128, n_cells, npix,
         in_specs=[
             pl.BlockSpec((1, n_cells, R, K128), lambda b, *_: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_cells, npix, 1), lambda b, *_: (b, 0, 0, 0),
+            pl.BlockSpec((1, n_cells, npix // 128, 128),
+                         lambda b, *_: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, n_cells, 16, K128),
@@ -626,16 +642,18 @@ def _soft_backward(fvi, fz, fnz, g_sumlog, *, sigmainv, height, width,
     rowsT = jnp.transpose(banded, (0, 1, 3, 2))            # (B, NCELL, R, K)
     g_c = g_sumlog.reshape(B, n_bands, band_rows, n_cols, cell_w)
     g_c = jnp.transpose(g_c, (0, 1, 3, 2, 4))              # cell-major
-    g_banded = g_c.reshape(B, n_cells, npix, 1)
     if stream:
+        # pixels on lanes (exact VMEM size; see _bwd_stream_kernel docstring)
+        g_packed = g_c.reshape(B, n_cells, npix // 128, 128)
         counts = (lists < F).sum(axis=2).astype(jnp.int32)
         pk, nlive = jax.vmap(
             lambda c: _build_stream(c, K // 128, n_cells, chunk=128))(counts)
-        G = _bwd_stream_call(pk, nlive, rowsT, g_banded, K128=K,
+        G = _bwd_stream_call(pk, nlive, rowsT, g_packed, K128=K,
                              n_cells=n_cells, npix=npix, width=width,
                              height=height, sigmainv=sigmainv,
                              interpret=interpret, n_cols=n_cols)
     else:
+        g_banded = g_c.reshape(B, n_cells, npix, 1)
         G = _bwd_call(rowsT, g_banded, K=capacity, n_cells=n_cells,
                       npix=npix, width=width, height=height,
                       sigmainv=sigmainv, interpret=interpret,
