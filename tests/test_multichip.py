@@ -26,10 +26,26 @@ def test_dryrun_multichip_entry_and_dp_invariance():
     """The driver's multi-chip dry run: full train step over an 8-device
     mesh, PLUS the DP-invariance proof — the identical global batch on a
     1-device mesh must give the same lossR/lossD and parameter-norm
-    fingerprint within fp tolerance (asserted inside dryrun_multichip)."""
-    import __graft_entry__ as ge
+    fingerprint within fp tolerance (asserted inside dryrun_multichip).
 
-    ge.dryrun_multichip(8)
+    Runs in a SUBPROCESS, exactly how the driver invokes it: in-process it
+    is green in isolation but aborts inside XLA:CPU when executed after the
+    ~90 compiled graphs the preceding suite accumulates (runtime state
+    interaction, reproduced twice on a fresh compile cache)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as ge; ge.dryrun_multichip(8)"],
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+        env=env, capture_output=True, text=True, timeout=1800)
+    assert proc.returncode == 0, (
+        f"dryrun_multichip(8) failed\nstdout:\n{proc.stdout[-2000:]}\n"
+        f"stderr:\n{proc.stderr[-2000:]}")
 
 
 def test_entry_compiles():
