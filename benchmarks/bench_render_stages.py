@@ -30,7 +30,8 @@ def main():
     from magicmirror.geometry import camera as cam
     from magicmirror.ops.pallas import texture_cells as tc
     from magicmirror.ops.pallas.rasterize_v4 import (
-        _auto_cells, _bin_lists, _build_stream, _face_rows, default_capacity,
+        _auto_cells, _bin_gather_rows, _build_stream, _face_rows,
+        default_capacity,
         rasterize_fused_v5)
     from magicmirror.ops.shading import spherical_harmonic_lighting
     from magicmirror.render.renderer import DiffRender
@@ -81,10 +82,8 @@ def main():
         rows = jax.vmap(
             lambda v, z, n, f_: _face_rows(v, z, n, dr.face_uvs, f_))(
             fvi, fz, fnz, fn)
-        lists, dropped = jax.vmap(
-            lambda v, n: _bin_lists(v, n, n_bands, cap, ncols))(fvi, fnz)
-        banded = jax.vmap(lambda r, l: r[l])(rows, lists)
-        counts = (lists < F).sum(axis=2).astype(jnp.int32)
+        banded, lists, counts, dropped = _bin_gather_rows(
+            rows, fvi, fnz, n_bands, cap, ncols)
         pk, nlive = jax.vmap(
             lambda c: _build_stream(c, cap // 8, n_cells))(counts)
         return banded, pk, nlive, dropped

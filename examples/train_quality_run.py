@@ -102,8 +102,12 @@ def main():
     step = make_train_step(opt, dr, netE, netD, opt_e, opt_d, lpl,
                            donate=False, steps_per_call=spc)
 
+    # device-resident dataset, stored bf16 (64 batches at 128²/b32 would be
+    # 8.6 GB in f32 — half that in bf16 leaves room for activations); each
+    # step casts its group back to f32 (the jitted step's input dtype)
     train_batches = [
-        jnp.asarray(make_synthetic_batch(dr, s, args.batch, args.size))
+        jnp.asarray(make_synthetic_batch(dr, s, args.batch, args.size),
+                    jnp.bfloat16)
         for s in range(args.n_batches)]
     eval_batch = jnp.asarray(
         make_synthetic_batch(dr, 999999, args.batch, args.size))
@@ -141,11 +145,12 @@ def main():
         lr = args.lr * (0.5 * (1 + np.cos(np.pi * i / args.steps)))
         if spc == 1:
             state, metrics, Xer, _ = step(
-                state, train_batches[i % len(train_batches)], sub,
-                lr, lr, warm, 0)
+                state,
+                train_batches[i % len(train_batches)].astype(jnp.float32),
+                sub, lr, lr, warm, 0)
         else:
             Xa_st = jnp.stack([train_batches[(i + j) % len(train_batches)]
-                               for j in range(spc)])
+                               for j in range(spc)]).astype(jnp.float32)
             warms = jnp.asarray(
                 [min(1.0, 0.01 + (i + j) / 50.0) for j in range(spc)],
                 jnp.float32)
@@ -161,7 +166,8 @@ def main():
             all_v, all_d = [], []
             for tb in train_batches:
                 v, d = encode_sweep(state.params_e, state.stats_e,
-                                    state.template, tb, bool(opt.white))
+                                    state.template,
+                                    tb.astype(jnp.float32), bool(opt.white))
                 all_v.append(np.asarray(v))
                 all_d.append(np.asarray(d))
             sum_delta, count = select_delta(np.concatenate(all_v),
@@ -180,7 +186,8 @@ def main():
             # same metrics on a TRAIN batch: a widening train-vs-heldout gap
             # is the memorization signature suspected behind the round-2
             # post-6k decay (VERDICT r2 weak-4)
-            s_tr, iou_tr, _, _ = eval_metrics(state, train_batches[0])
+            s_tr, iou_tr, _, _ = eval_metrics(
+                state, train_batches[0].astype(jnp.float32))
             tdrift = float(jnp.max(jnp.abs(state.template
                                            - dr.vertices_init)))
             row = dict(step=i, wall_s=round(time.time() - t0, 1),

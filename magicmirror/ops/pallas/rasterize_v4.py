@@ -174,25 +174,7 @@ def _bin_lists(fvi, fnz, n_bands: int, capacity: int, n_cols: int = 1):
     split is what lets the static capacity stay at 128 without drops.
     Backfaces are dropped at bin time (no z/soft contribution)."""
     F = fvi.shape[0]
-    ys = fvi[:, :, 1]
-    ymin = ys.min(1) - _SOFT_MARGIN
-    ymax = ys.max(1) + _SOFT_MARGIN
-    yedges = 1.0 - 2.0 * jnp.arange(n_bands + 1, dtype=jnp.float32) / n_bands
-    yov = ((ymax[None, :] >= yedges[1:][:, None])
-           & (ymin[None, :] <= yedges[:-1][:, None])
-           & (fnz > 0.0)[None, :])                          # (NB, F)
-    if n_cols > 1:
-        xs = fvi[:, :, 0]
-        xmin = xs.min(1) - _SOFT_MARGIN
-        xmax = xs.max(1) + _SOFT_MARGIN
-        xedges = -1.0 + 2.0 * jnp.arange(n_cols + 1,
-                                         dtype=jnp.float32) / n_cols
-        xov = ((xmax[None, :] >= xedges[:-1][:, None])
-               & (xmin[None, :] <= xedges[1:][:, None]))    # (NC, F)
-        overlap = (yov[:, None, :] & xov[None, :, :]).reshape(
-            n_bands * n_cols, F)
-    else:
-        overlap = yov
+    overlap = _overlap_cells(fvi, fnz, n_bands, n_cols)
     counts = overlap.sum(axis=1).astype(jnp.int32)
     dropped = jnp.maximum(counts - capacity, 0).sum()
     # count-and-pad WITHOUT a scatter (XLA TPU scatters are serial — the
@@ -208,6 +190,80 @@ def _bin_lists(fvi, fnz, n_bands: int, capacity: int, n_cols: int = 1):
     skey = jnp.sort(key, axis=1)[:, :capacity]
     lists = jnp.where(skey < F, skey, F)
     return lists, dropped
+
+
+def _overlap_cells(fvi, fnz, n_bands: int, n_cols: int):
+    """(F, 3, 2), (F,) -> (NC, F) bool cell-overlap mask (the binning
+    predicate of :func:`_bin_lists`, factored so the rank-compaction path
+    can reuse it).  Backfaces excluded."""
+    F = fvi.shape[0]
+    ys = fvi[:, :, 1]
+    ymin = ys.min(1) - _SOFT_MARGIN
+    ymax = ys.max(1) + _SOFT_MARGIN
+    yedges = 1.0 - 2.0 * jnp.arange(n_bands + 1, dtype=jnp.float32) / n_bands
+    yov = ((ymax[None, :] >= yedges[1:][:, None])
+           & (ymin[None, :] <= yedges[:-1][:, None])
+           & (fnz > 0.0)[None, :])                          # (NB, F)
+    if n_cols > 1:
+        xs = fvi[:, :, 0]
+        xmin = xs.min(1) - _SOFT_MARGIN
+        xmax = xs.max(1) + _SOFT_MARGIN
+        xedges = -1.0 + 2.0 * jnp.arange(n_cols + 1,
+                                         dtype=jnp.float32) / n_cols
+        xov = ((xmax[None, :] >= xedges[:-1][:, None])
+               & (xmin[None, :] <= xedges[1:][:, None]))    # (NC, F)
+        return (yov[:, None, :] & xov[None, :, :]).reshape(
+            n_bands * n_cols, F)
+    return yov
+
+
+def _bin_gather_rows(rows, fvi, fnz, n_bands: int, capacity: int,
+                     n_cols: int):
+    """Fused bin + banded-row gather via cumsum-rank one-hot compaction.
+
+    Produces EXACTLY what ``vmap(_bin_lists)`` + ``_gather_rows`` produce
+    (lists are ascending face ids per cell — the sort key there was the id
+    itself), but without the O(NC·F log² F) XLA sort: the slot of a live
+    face is its exclusive prefix count within the cell (``cumsum``), the
+    slot one-hot ``rank == k+1`` IS the gather one-hot, and empty slots
+    take the dead sentinel row explicitly.  Exact at HIGHEST precision
+    (one nonzero per output).  Falls back to the sort + plain-gather path
+    at SMPL scale where the (NC·K, F) one-hot would dominate.
+
+    rows (B, F+1, R); fvi (B, F, 3, 2); fnz (B, F).
+    Returns (banded (B, NC, K, R), lists (B, NC, K) i32 into rows[F+1],
+    counts (B, NC) i32, dropped (B,) i32).
+    """
+    B, Fp1, R = rows.shape
+    F = Fp1 - 1
+    NC = n_bands * n_cols
+    K = capacity
+    if NC * K * Fp1 > 64_000_000:
+        lists, dropped = jax.vmap(
+            lambda v, n: _bin_lists(v, n, n_bands, K, n_cols))(fvi, fnz)
+        banded = jax.vmap(lambda r, l: r[l])(rows, lists)
+        counts = (lists < F).sum(axis=2).astype(jnp.int32)
+        return banded, lists, counts, dropped
+
+    def one(rows_i, fvi_i, fnz_i):
+        overlap = _overlap_cells(fvi_i, fnz_i, n_bands, n_cols)  # (NC, F)
+        rank = jnp.cumsum(overlap.astype(jnp.int32), axis=1)     # 1-based
+        total = rank[:, -1]
+        dropped = jnp.maximum(total - K, 0).sum()
+        counts = jnp.minimum(total, K)   # live slots actually filled
+        slots = jnp.arange(K, dtype=jnp.int32)
+        oh = ((rank[:, None, :] == (slots + 1)[None, :, None])
+              & overlap[:, None, :]).astype(jnp.float32)        # (NC, K, F)
+        banded = jnp.einsum("ckf,fr->ckr", oh, rows_i[:F],
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+        empty = (slots[None, :] >= counts[:, None]).astype(jnp.float32)
+        banded = banded + empty[:, :, None] * rows_i[F][None, None, :]
+        ids = banded[:, :, FID]
+        lists = jnp.where(ids >= 0.0, ids, float(F)).astype(jnp.int32)
+        return banded, lists, counts.astype(jnp.int32), dropped
+
+    return jax.vmap(one)(rows, fvi, fnz)
 
 
 def _gather_rows(rows, lists):
@@ -636,16 +692,14 @@ def _soft_backward(fvi, fz, fnz, g_sumlog, *, sigmainv, height, width,
     npix = band_rows * cell_w
     rows = jax.vmap(_face_rows)(fvi, fz, fnz)              # (B, F+1, R_PLAIN)
     K = -(-capacity // 128) * 128 if stream else capacity
-    lists, _ = jax.vmap(
-        lambda v, n: _bin_lists(v, n, n_bands, K, n_cols))(fvi, fnz)
-    banded = _gather_rows(rows, lists)                     # (B, NCELL, K, R)
+    banded, lists, counts, _ = _bin_gather_rows(rows, fvi, fnz, n_bands,
+                                                K, n_cols)
     rowsT = jnp.transpose(banded, (0, 1, 3, 2))            # (B, NCELL, R, K)
     g_c = g_sumlog.reshape(B, n_bands, band_rows, n_cols, cell_w)
     g_c = jnp.transpose(g_c, (0, 1, 3, 2, 4))              # cell-major
     if stream:
         # pixels on lanes (exact VMEM size; see _bwd_stream_kernel docstring)
         g_packed = g_c.reshape(B, n_cells, npix // 128, 128)
-        counts = (lists < F).sum(axis=2).astype(jnp.int32)
         pk, nlive = jax.vmap(
             lambda c: _build_stream(c, K // 128, n_cells, chunk=128))(counts)
         G = _bwd_stream_call(pk, nlive, rowsT, g_packed, K128=K,
@@ -676,9 +730,8 @@ def _plain(fvi, fz, fnz, sigmainv, height, width, band_rows, capacity,
     n_bands = height // band_rows
     npix = band_rows * (width // n_cols)
     rows = jax.vmap(_face_rows)(fvi, fz, fnz)
-    lists, dropped = jax.vmap(
-        lambda v, n: _bin_lists(v, n, n_bands, capacity, n_cols))(fvi, fnz)
-    banded = _gather_rows(rows, lists)
+    banded, lists, _, dropped = _bin_gather_rows(rows, fvi, fnz, n_bands,
+                                                 capacity, n_cols)
     idx, sumlog = _fwd_call(banded, K=capacity, n_bands=n_bands, npix=npix,
                             width=width, height=height, sigmainv=sigmainv,
                             fused=False, interpret=interpret, n_cols=n_cols)
@@ -768,9 +821,8 @@ def _fused(fvi, fz, fnz, face_uvs, face_normals, sigmainv, height, width,
     rows = jax.vmap(
         lambda v, z, n, fn: _face_rows(v, z, n, face_uvs, fn))(
         fvi, fz, fnz, face_normals)
-    lists, dropped = jax.vmap(
-        lambda v, n: _bin_lists(v, n, n_bands, capacity, n_cols))(fvi, fnz)
-    banded = _gather_rows(rows, lists)
+    banded, lists, _, dropped = _bin_gather_rows(rows, fvi, fnz, n_bands,
+                                                 capacity, n_cols)
     idx, sumlog, u, v, nx, ny, nz = _fwd_call(
         banded, K=capacity, n_bands=n_bands, npix=npix, width=width,
         height=height, sigmainv=sigmainv, fused=True, interpret=interpret,
@@ -1026,14 +1078,11 @@ def _fused_stream(fvi, fz, fnz, face_uvs, face_normals, sigmainv, height,
     n_bands = height // band_rows
     n_cells = n_bands * n_cols
     npix = band_rows * (width // n_cols)
-    F = fvi.shape[1]
     rows = jax.vmap(
         lambda v, z, n, fn: _face_rows(v, z, n, face_uvs, fn))(
         fvi, fz, fnz, face_normals)
-    lists, dropped = jax.vmap(
-        lambda v, n: _bin_lists(v, n, n_bands, capacity, n_cols))(fvi, fnz)
-    banded = _gather_rows(rows, lists)
-    counts = (lists < F).sum(axis=2).astype(jnp.int32)     # (B, NCELL)
+    banded, lists, counts, dropped = _bin_gather_rows(
+        rows, fvi, fnz, n_bands, capacity, n_cols)
     pk, nlive = jax.vmap(
         lambda c: _build_stream(c, capacity // 8, n_cells))(counts)
     idx, sumlog, u, v, nx, ny, nz = _fwd_stream_call(

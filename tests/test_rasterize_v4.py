@@ -246,3 +246,29 @@ def test_stream_v5_empty_cells_defaults():
     idx = np.asarray(idx.reshape(B, H, W))
     assert (idx[:, :, : W // 4] == -1).all()          # far-left cells empty
     assert np.allclose(np.asarray(soft.reshape(B, H, W))[:, :, : W // 4], 0.0)
+
+
+def test_rank_compaction_binning_bitwise(scene):
+    """The cumsum-rank one-hot bin+gather (the sort-free production path)
+    must reproduce the sort-based _bin_lists + _gather_rows bitwise —
+    lists, counts, dropped, and the banded rows — including capacity
+    overflow and F < capacity."""
+    from magicmirror.ops.pallas.rasterize_v4 import (
+        _bin_gather_rows, _bin_lists, _face_rows, _gather_rows)
+
+    fvi, fz, fnz = scene["fvi"], scene["fz"], scene["fnz"]
+    F = scene["F"]
+    for (n_bands, n_cols, cap, Ft) in [(8, 2, 96, F), (8, 2, 24, F),
+                                       (8, 2, 96, 12), (4, 1, 64, F)]:
+        fv, fzz, fn_ = fvi[:, :Ft], fz[:, :Ft], fnz[:, :Ft]
+        rows = jax.vmap(_face_rows)(fv, fzz, fn_)
+        lists0, dropped0 = jax.vmap(
+            lambda v, n: _bin_lists(v, n, n_bands, cap, n_cols))(fv, fn_)
+        banded0 = _gather_rows(rows, lists0)
+        banded1, lists1, counts1, dropped1 = _bin_gather_rows(
+            rows, fv, fn_, n_bands, cap, n_cols)
+        assert (np.asarray(lists0) == np.asarray(lists1)).all()
+        assert (np.asarray(dropped0) == np.asarray(dropped1)).all()
+        assert (np.asarray(counts1) == np.asarray(
+            (lists0 < Ft).sum(2))).all()
+        assert (np.asarray(banded0) == np.asarray(banded1)).all()
