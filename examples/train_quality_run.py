@@ -30,6 +30,27 @@ import jax.numpy as jnp
 from train_synthetic import make_synthetic_batch  # noqa: E402
 
 
+def _write_artifacts(args, dr, netE, state, lpl, eval_batch, rgba):
+    """Reconstruction grid + predicted/template meshes (overwrites)."""
+    from magicmirror.eval.images import save_array_image
+    from magicmirror.geometry.obj_io import save_mesh
+    n = min(8, args.batch)
+    gt = np.asarray(eval_batch[:n, :, :, :3])
+    gtm = np.asarray(eval_batch[:n, :, :, 3:4])
+    gt_white = gt * gtm + (1 - gtm)
+    rec = np.asarray(rgba[:n, :, :, :3])
+    grid = np.concatenate([np.concatenate(list(gt_white), axis=1),
+                           np.concatenate(list(rec), axis=1)], axis=0)
+    save_array_image(grid, os.path.join(args.out, "samples.png"))
+    att = netE.apply(
+        {"params": state.params_e, "batch_stats": state.stats_e},
+        eval_batch, state.template, lpl, 0, train=False)
+    save_mesh(os.path.join(args.out, "final_mesh.obj"),
+              np.asarray(att["vertices"][0]), np.asarray(dr.faces), dr.uvs)
+    save_mesh(os.path.join(args.out, "template_evolved.obj"),
+              np.asarray(state.template), np.asarray(dr.faces), dr.uvs)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=3000)
@@ -67,9 +88,7 @@ def main():
     assert args.steps % spc == 0, "--steps_per_call must divide --steps"
 
     from magicmirror.configs.flags import build_parser
-    from magicmirror.eval.images import save_array_image
     from magicmirror.eval.metrics import mask_iou_metric, ssim
-    from magicmirror.geometry.obj_io import save_mesh
     from magicmirror.models.attribute_encoder import AttributeEncoder
     from magicmirror.models.discriminators import Discriminator
     from magicmirror.render.renderer import DiffRender
@@ -212,25 +231,15 @@ def main():
                 w = csv.DictWriter(fp, fieldnames=list(rows[0]))
                 w.writeheader()
                 w.writerows(rows)
+            # periodic artifact snapshot (overwrite): a wall-clock-bounded
+            # run still leaves a full evidence set, not just curves
+            if i > 0 and i % (args.eval_every * 8) == 0:
+                _write_artifacts(args, dr, netE, state, lpl, eval_batch,
+                                 rgba)
 
     # final artifacts: eval-set reconstruction grid + predicted mesh
     s, iou, rgba, _ = eval_metrics(state, eval_batch)
-    n = min(8, args.batch)
-    gt = np.asarray(eval_batch[:n, :, :, :3])
-    gtm = np.asarray(eval_batch[:n, :, :, 3:4])
-    gt_white = gt * gtm + (1 - gtm)
-    rec = np.asarray(rgba[:n, :, :, :3])
-    grid = np.concatenate([np.concatenate(list(gt_white), axis=1),
-                           np.concatenate(list(rec), axis=1)], axis=0)
-    save_array_image(grid, os.path.join(args.out, "samples.png"))
-
-    att = netE.apply(
-        {"params": state.params_e, "batch_stats": state.stats_e},
-        eval_batch, state.template, lpl, 0, train=False)
-    save_mesh(os.path.join(args.out, "final_mesh.obj"),
-              np.asarray(att["vertices"][0]), np.asarray(dr.faces), dr.uvs)
-    save_mesh(os.path.join(args.out, "template_evolved.obj"),
-              np.asarray(state.template), np.asarray(dr.faces), dr.uvs)
+    _write_artifacts(args, dr, netE, state, lpl, eval_batch, rgba)
     print(f"final: ssim={float(s):.4f} mask_iou={float(iou):.4f} "
           f"({args.steps} steps, {time.time() - t0:.0f}s)")
 
