@@ -129,14 +129,23 @@ def mfu_report(dr, att, sec_per_frame, coverage):
         def one(args):
             fvi1, fnz1 = args
             lists, _ = _bin_lists(fvi1, fnz1, H // br, cap, ncols)
-            return (lists < dr.num_faces).sum()
+            counts = (lists < dr.num_faces).sum(axis=1)
+            # v5 stream: only LIVE 8-face chunks execute (ceil(count/8)·8
+            # slots per cell); v4 executes the full static capacity
+            return counts.sum(), (-(-counts // 8) * 8).sum()
 
-        pairs = jax.lax.map(one, (fvi, fn[:, :, 2]))
-        return pairs.sum()
+        pairs, slots = jax.lax.map(one, (fvi, fn[:, :, 2]))
+        return pairs.sum(), slots.sum()
 
     B = att["azimuths"].shape[0]
-    pairs_useful = int(probe(att))
-    pairs_issued = B * n_cells * cap
+    from magicmirror.ops.pallas.rasterize_v4 import stream_enabled
+    pairs_useful, stream_slots = (int(x) for x in probe(att))
+    pairs_cap = B * n_cells * cap
+    # `issued` describes the kernel that actually runs: the v5 stream
+    # (default) executes live chunks only, so its issue bound is the live
+    # slot count, not n_cells*capacity; the capacity-basis number is kept
+    # as `kernel_pair_occupancy_cap_pct` for cross-round continuity
+    pairs_issued = stream_slots if stream_enabled() else pairs_cap
 
     kern_useful = pairs_useful / B * npix * _KERNEL_OPS_PER_PAIR
     kern_issued = pairs_issued / B * npix * _KERNEL_OPS_PER_PAIR
@@ -163,6 +172,8 @@ def mfu_report(dr, att, sec_per_frame, coverage):
             kern_issued * flops_per_sec / _PEAK_VPU_F32 * 100, 3),
         "kernel_pair_occupancy_pct": round(
             pairs_useful / pairs_issued * 100, 2),
+        "kernel_pair_occupancy_cap_pct": round(
+            pairs_useful / pairs_cap * 100, 2),
         "tex_useful_mfu_pct": round(
             tex["useful_flops_frame"] * flops_per_sec / _PEAK_MXU_BF16 * 100,
             4),

@@ -30,8 +30,12 @@ import jax.numpy as jnp
 from train_synthetic import make_synthetic_batch  # noqa: E402
 
 
-def _write_artifacts(args, dr, netE, state, lpl, eval_batch, rgba):
-    """Reconstruction grid + predicted/template meshes (overwrites)."""
+def _write_artifacts(args, dr, state, eval_batch, rgba, vertices):
+    """Reconstruction grid + predicted/template meshes (overwrites).
+
+    ``vertices`` comes straight out of the jitted eval_metrics pass (advisor
+    r3: re-running an un-jitted netE.apply here doubled the snapshot cost
+    through the remote-dispatch tunnel)."""
     from magicmirror.eval.images import save_array_image
     from magicmirror.geometry.obj_io import save_mesh
     n = min(8, args.batch)
@@ -42,11 +46,8 @@ def _write_artifacts(args, dr, netE, state, lpl, eval_batch, rgba):
     grid = np.concatenate([np.concatenate(list(gt_white), axis=1),
                            np.concatenate(list(rec), axis=1)], axis=0)
     save_array_image(grid, os.path.join(args.out, "samples.png"))
-    att = netE.apply(
-        {"params": state.params_e, "batch_stats": state.stats_e},
-        eval_batch, state.template, lpl, 0, train=False)
     save_mesh(os.path.join(args.out, "final_mesh.obj"),
-              np.asarray(att["vertices"][0]), np.asarray(dr.faces), dr.uvs)
+              np.asarray(vertices[0]), np.asarray(dr.faces), dr.uvs)
     save_mesh(os.path.join(args.out, "template_evolved.obj"),
               np.asarray(state.template), np.asarray(dr.faces), dr.uvs)
 
@@ -145,7 +146,7 @@ def main():
                     mask=jnp.mean(pred_mask),
                     dmax=jnp.max(jnp.abs(att["delta_vertices"])))
         return (ssim(pred_rgb, white), mask_iou_metric(pred_mask, gt_mask),
-                rgba, diag)
+                rgba, diag, att["vertices"])
 
     from magicmirror.train.em_update import (apply_template_update,
                                              make_encode_sweep, select_delta)
@@ -157,6 +158,7 @@ def main():
     csv_path = os.path.join(args.out, "curves.csv")
     rows = []
     rng = jax.random.PRNGKey(0)
+    skips = 0.0  # cumulative non-finite-grad steps skipped (train_step guard)
     t0 = time.time()
     for i in range(0, args.steps, spc):
         rng, sub = jax.random.split(rng)
@@ -167,6 +169,7 @@ def main():
                 state,
                 train_batches[i % len(train_batches)].astype(jnp.float32),
                 sub, lr, lr, warm, 0)
+            skips += float(metrics["skipE"]) + float(metrics["skipD"])
         else:
             Xa_st = jnp.stack([train_batches[(i + j) % len(train_batches)]
                                for j in range(spc)]).astype(jnp.float32)
@@ -175,6 +178,7 @@ def main():
                 jnp.float32)
             state, ms, Xer, _ = step(
                 state, Xa_st, jax.random.split(sub, spc), lr, lr, warms, 0)
+            skips += float(jnp.sum(ms["skipE"]) + jnp.sum(ms["skipD"]))
             metrics = {k: v[-1] for k, v in ms.items()}
         # cadences below key on the group-START index i (spc=1: identical to
         # the original schedule; spc>1: each fires at the same i, evaluated
@@ -201,11 +205,11 @@ def main():
                 and (i - args.swa_start) % args.swa_every == 0):
             state = swa_update(state)
         if i % args.eval_every == 0 or i + spc >= args.steps:
-            s, iou, rgba, diag = eval_metrics(state, eval_batch)
+            s, iou, rgba, diag, verts = eval_metrics(state, eval_batch)
             # same metrics on a TRAIN batch: a widening train-vs-heldout gap
             # is the memorization signature suspected behind the round-2
             # post-6k decay (VERDICT r2 weak-4)
-            s_tr, iou_tr, _, _ = eval_metrics(
+            s_tr, iou_tr, _, _, _ = eval_metrics(
                 state, train_batches[0].astype(jnp.float32))
             tdrift = float(jnp.max(jnp.abs(state.template
                                            - dr.vertices_init)))
@@ -224,7 +228,9 @@ def main():
                        mask=round(float(diag["mask"]), 3),
                        dmax=round(float(diag["dmax"]), 3),
                        tdrift=round(tdrift, 4),
-                       swa_n=int(state.swa_n))
+                       swa_n=int(state.swa_n),
+                       gnormE=round(float(metrics["gnormE"]), 3),
+                       skips=int(skips))
             rows.append(row)
             print(" ".join(f"{k}={v}" for k, v in row.items()), flush=True)
             with open(csv_path, "w", newline="") as fp:
@@ -232,14 +238,16 @@ def main():
                 w.writeheader()
                 w.writerows(rows)
             # periodic artifact snapshot (overwrite): a wall-clock-bounded
-            # run still leaves a full evidence set, not just curves
-            if i > 0 and i % (args.eval_every * 8) == 0:
-                _write_artifacts(args, dr, netE, state, lpl, eval_batch,
-                                 rgba)
+            # run still leaves a full evidence set, not just curves.  The
+            # final iteration skips it — the post-loop block writes the same
+            # artifacts from the SAME eval (advisor r3: no double pass)
+            if i > 0 and i % (args.eval_every * 8) == 0 and i + spc < args.steps:
+                _write_artifacts(args, dr, state, eval_batch, rgba, verts)
 
-    # final artifacts: eval-set reconstruction grid + predicted mesh
-    s, iou, rgba, _ = eval_metrics(state, eval_batch)
-    _write_artifacts(args, dr, netE, state, lpl, eval_batch, rgba)
+    # final artifacts: reuse the last in-loop eval (the last group always
+    # evaluates via the `i + spc >= args.steps` clause and state is unchanged
+    # since)
+    _write_artifacts(args, dr, state, eval_batch, rgba, verts)
     print(f"final: ssim={float(s):.4f} mask_iou={float(iou):.4f} "
           f"({args.steps} steps, {time.time() - t0:.0f}s)")
 

@@ -22,6 +22,7 @@ def build_parser(defaults: dict | None = None) -> argparse.ArgumentParser:
     a("--dataroot", default="./data/CUB_Data", help="path to dataset root dir")
     a("--ratio", type=float, default=1, help="height/width")
     a("--gan_type", default="wgan", help="wgan or lsgan")
+    a("--sn_dis", type=int, default=0, help="use the spectral-norm DCGAN critic (reference network/discriminator.py; unused by reference recipes)")
     a("--template_path", default="./template/sphere.obj", help="template mesh path")
     a("--ellipsoid", type=float, default=1, help="init sphere to ellipsoid")
     a("--category", type=str, default="bird")
@@ -122,12 +123,13 @@ def build_parser(defaults: dict | None = None) -> argparse.ArgumentParser:
     a("--raster_backend", type=str, default="auto",
       choices=["auto", "pallas", "pallas_v3", "xla"],
       help="rasterizer backend; auto = pallas on TPU, xla elsewhere")
-    a("--steps_per_call", type=int, default=1,
+    a("--steps_per_call", type=int, default=16,
       help="train iterations executed per jitted dispatch (lax.scan). "
            ">1 amortizes the per-step host overhead of the remote-execution "
            "path (~56 ms at b16/128²); semantics identical to 1 (same math, "
            "same per-iteration prints).  Groups split automatically at "
-           "train_shape changes and epoch tails")
+           "train_shape changes and epoch tails.  Default 16 = the measured "
+           "b48/128² optimum (TRAINBENCH); set 1 to disable scan dispatch")
     a("--donate_state", action="store_true",
       help="donate the train-state buffers to the jitted step (in-place "
            "update).  Saves one state copy of HBM but measured 15-27%% "

@@ -7,6 +7,7 @@ near-zero-init final 1x1 head (reference network/utils.py:20-26).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -113,3 +114,84 @@ class LandmarkConsistency(nn.Module):
         ce = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
         vis = visible[:, sample_idx].astype(jnp.float32)
         return jnp.sum(ce * vis) / (jnp.sum(vis) + 1e-8)
+
+
+# ------------------------------------------------------- SN variant (opt-in)
+def _spectral_sigma(w2d, n_iter: int = 5, eps: float = 1e-12):
+    """Largest singular value by power iteration (torch
+    ``spectral_norm`` semantics: u/v are detached, gradients flow only
+    through sigma = uᵀ W v).  Stateless-per-call with a fixed start vector
+    and 5 iterations instead of torch's persistent-u 1-step — same
+    Lipschitz-constraint role, no extra state collection to thread through
+    the D optimizer (reference network/discriminator.py:13)."""
+    rows = w2d.shape[0]
+    u = jnp.full((rows,), 1.0 / jnp.sqrt(rows), w2d.dtype)
+    for _ in range(n_iter):
+        v = w2d.T @ u
+        v = v / (jnp.linalg.norm(v) + eps)
+        u = w2d @ v
+        u = u / (jnp.linalg.norm(u) + eps)
+    u = jax.lax.stop_gradient(u)
+    v = jax.lax.stop_gradient(v)
+    return u @ (w2d @ v)
+
+
+class SNConv(nn.Module):
+    """4x4 conv with spectral weight normalization (NHWC/HWIO)."""
+    features: int
+    kernel: int = 4
+    stride: int = 2
+    pad: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.param("kernel", kaiming_init,
+                       (self.kernel, self.kernel, x.shape[-1], self.features))
+        # torch reshapes (cout, cin*kh*kw); transpose to match its sigma
+        w2d = k.transpose(3, 2, 0, 1).reshape(self.features, -1)
+        kn = k / _spectral_sigma(w2d)
+        return jax.lax.conv_general_dilated(
+            x, kn, (self.stride, self.stride),
+            [(self.pad, self.pad)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _instance_norm(x, eps: float = 1e-5):
+    """InstanceNorm2d(affine=False): per-sample, per-channel over H, W."""
+    m = jnp.mean(x, axis=(1, 2), keepdims=True)
+    v = jnp.var(x, axis=(1, 2), keepdims=True)
+    return (x - m) * jax.lax.rsqrt(v + eps)
+
+
+class SNDiscriminator(nn.Module):
+    """Spectral-norm DCGAN critic (reference network/discriminator.py:5-79):
+    4x4/stride-2 SN convs with InstanceNorm + LeakyReLU(0.2), image sizes
+    32/64/128 — the reference ships it unused by any recipe; exposed here
+    behind ``--sn_dis`` for parity.  Output is the mean of the final patch
+    map, matching how the trainer consumes critics."""
+    nc: int = 3
+    ndf: int = 64
+    imsize: int = 128
+
+    @nn.compact
+    def __call__(self, x, flip_rng=None):
+        assert self.imsize in (32, 64, 128), "imsize must be 32/64/128"
+        x = x[..., :self.nc]
+        if flip_rng is not None:  # reference hflip=True path
+            import jax.random as jrandom
+            keep = jrandom.bernoulli(flip_rng, 0.5, (x.shape[0], 1, 1, 1))
+            x = jnp.where(keep, x, x[:, :, ::-1, :])
+        ndf = self.ndf
+        if self.imsize == 128:
+            x = leaky_relu(SNConv(ndf // 2)(x))
+            x = leaky_relu(_instance_norm(SNConv(ndf)(x)))
+            x = leaky_relu(_instance_norm(SNConv(ndf * 2)(x)))
+        elif self.imsize == 64:
+            x = leaky_relu(SNConv(ndf)(x))
+            x = leaky_relu(_instance_norm(SNConv(ndf * 2)(x)))
+        else:
+            x = leaky_relu(_instance_norm(SNConv(ndf * 2)(x)))
+        x = leaky_relu(_instance_norm(SNConv(ndf * 4)(x)))
+        x = leaky_relu(_instance_norm(SNConv(ndf * 8)(x)))
+        x = SNConv(1, kernel=4, stride=1, pad=0)(x)
+        return x.mean(axis=(1, 2))  # (B, 1)

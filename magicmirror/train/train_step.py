@@ -410,8 +410,28 @@ def make_train_step(opt, diffRender, netE, netD, opt_e, opt_d, lpl,
         updE, new_opt_e = opt_e.update(gradE, state.opt_state_e, state.params_e)
         new_params_e = apply_updates_scaled(state.params_e, updE, lr_e)
 
+        # ---- non-finite-gradient guard: one NaN/Inf gradient step would
+        # poison params (and Adam moments) forever — a 4k-step round-4 run
+        # NaN'd at step ~1150 and never recovered because zero-coverage
+        # renders have no gradient path back.  Skip the side whose gradient
+        # is non-finite, keep the other; expose skip flags + grad norms as
+        # metrics so runs can log the spike that triggered it.  (The
+        # reference inherits the same failure mode — trainer.py:420-518 has
+        # no guard — this is a robustness improvement, not a semantic
+        # change: finite-grad steps are bit-identical.)
+        finD = _all_finite(gradD)
+        finE = jnp.logical_and(_all_finite(gradE), _all_finite(new_stats))
+        new_params_d = _select(finD, new_params_d, state.params_d)
+        new_opt_d = _select(finD, new_opt_d, state.opt_state_d)
+        new_params_e = _select(finE, new_params_e, state.params_e)
+        new_opt_e = _select(finE, new_opt_e, state.opt_state_e)
+        new_stats = _select(finE, new_stats, state.stats_e)
+
         metrics = {"lossD": lossD, "lossD_real": d_aux[0],
-                   "lossD_fake": d_aux[1], "lossD_gp": d_aux[2], **e_metrics}
+                   "lossD_fake": d_aux[1], "lossD_gp": d_aux[2],
+                   "gnormE": _gnorm(gradE), "gnormD": _gnorm(gradD),
+                   "skipE": 1.0 - finE.astype(jnp.float32),
+                   "skipD": 1.0 - finD.astype(jnp.float32), **e_metrics}
         new_state = state.replace(
             params_e=new_params_e, stats_e=new_stats, params_d=new_params_d,
             opt_state_e=new_opt_e, opt_state_d=new_opt_d,
@@ -455,6 +475,25 @@ def make_train_step(opt, diffRender, netE, netD, opt_e, opt_d, lpl,
 
     return jax.jit(train_step, static_argnames=("train_shape",),
                    donate_argnums=(0,) if donate else ())
+
+
+def _all_finite(tree):
+    """Scalar bool: every leaf of the tree is entirely finite."""
+    leaves = [jnp.all(jnp.isfinite(l))
+              for l in jax.tree_util.tree_leaves(tree)]
+    return jnp.all(jnp.stack(leaves)) if leaves else jnp.asarray(True)
+
+
+def _gnorm(tree):
+    """Global L2 norm over all leaves (float32)."""
+    return jnp.sqrt(sum(jnp.sum(jnp.square(l.astype(jnp.float32)))
+                        for l in jax.tree_util.tree_leaves(tree)))
+
+
+def _select(pred, a, b):
+    """Per-leaf jnp.where(pred, a, b) over two same-structure trees."""
+    return jax.tree_util.tree_map(
+        lambda x, y: jnp.where(pred, x, y), a, b)
 
 
 def _vjp_aux(f, params, *args):

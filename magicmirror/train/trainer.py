@@ -48,7 +48,12 @@ def build_models(opt, diffRender):
         coordconv=opt.coordconv, norm=opt.norm, nolpl=opt.nolpl, inv=opt.inv,
         lambda_lc=opt.lambda_lc, num_faces=diffRender.num_faces)
     dis_nc = 4 if opt.unmask == 2 else 3
-    if opt.gan_type == "wgan":
+    if getattr(opt, "sn_dis", 0):
+        # single patch-critic output: pairs with the scalar wgan losses only
+        assert opt.gan_type == "wgan", "--sn_dis requires --gan_type wgan"
+        from ..models.discriminators import SNDiscriminator
+        netD = SNDiscriminator(nc=dis_nc, imsize=opt.imageSize)
+    elif opt.gan_type == "wgan":
         netD = Discriminator(nc=dis_nc, nf=16)
     elif opt.gan_type == "lsgan":
         netD = MSDiscriminator(nc=dis_nc, nf=16)

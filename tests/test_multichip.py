@@ -37,7 +37,11 @@ def test_dryrun_multichip_entry_and_dp_invariance():
     import sys
 
     env = dict(os.environ)
-    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+    # share dryrun_multichip's own CPU-keyed persistent cache (it picks the
+    # dir itself when the var is unset) so driver runs, pre-warm runs, and
+    # this test all hit the same entries — conftest's /tmp/jax_test_cache
+    # would fork a second cold cache for the identical programs
+    env.pop("JAX_COMPILATION_CACHE_DIR", None)
     proc = subprocess.run(
         [sys.executable, "-c",
          "import __graft_entry__ as ge; ge.dryrun_multichip(8)"],
