@@ -88,6 +88,23 @@ def main():
             lambda c: _build_stream(c, cap // 8, n_cells))(counts)
         return banded, pk, nlive, dropped
 
+    def stage_rows(a):
+        fvc, fvi, fn = stage_camera(a)
+        fz, fnz = fvc[:, :, :, 2], fn[:, :, 2]
+        return jax.vmap(
+            lambda v, z, n, f_: _face_rows(v, z, n, dr.face_uvs, f_))(
+            fvi, fz, fnz, fn)
+
+    def stage_bin(a):
+        fvc, fvi, fn = stage_camera(a)
+        fz, fnz = fvc[:, :, :, 2], fn[:, :, 2]
+        rows = jax.vmap(
+            lambda v, z, n, f_: _face_rows(v, z, n, dr.face_uvs, f_))(
+            fvi, fz, fnz, fn)
+        banded, lists, counts, dropped = _bin_gather_rows(
+            rows, fvi, fnz, n_bands, cap, ncols)
+        return banded, counts, dropped
+
     def stage_raster(a):
         fvc, fvi, fn = stage_camera(a)
         return rasterize_fused_v5(fvi, fvc[:, :, :, 2], fn[:, :, 2],
@@ -104,12 +121,16 @@ def main():
         return dr.render(**a)[0]
 
     t1 = bench(jax.jit(stage_camera), att) * 1e3
+    t1b = bench(jax.jit(stage_rows), att) * 1e3
+    t1c = bench(jax.jit(stage_bin), att) * 1e3
     t2 = bench(jax.jit(stage_prep), att) * 1e3
     t3 = bench(jax.jit(stage_raster), att) * 1e3
     t4 = bench(jax.jit(stage_texture), att) * 1e3
     t5 = bench(jax.jit(stage_full), att) * 1e3
     print(f"camera+project     : {t1:7.2f} ms")
-    print(f"+rows/bin/stream   : {t2:7.2f} ms  (Δ {t2-t1:6.2f})")
+    print(f"+face rows         : {t1b:7.2f} ms  (Δ {t1b-t1:6.2f})")
+    print(f"+bin/banded gather : {t1c:7.2f} ms  (Δ {t1c-t1b:6.2f})")
+    print(f"+stream build      : {t2:7.2f} ms  (Δ {t2-t1c:6.2f})")
     print(f"+v5 kernel         : {t3:7.2f} ms  (Δ {t3-t2:6.2f})")
     print(f"+texture cells     : {t4:7.2f} ms  (Δ {t4-t3:6.2f})")
     print(f"full render        : {t5:7.2f} ms  (Δ {t5-t4:6.2f})  "

@@ -218,7 +218,7 @@ def _overlap_cells(fvi, fnz, n_bands: int, n_cols: int):
 
 
 def _bin_gather_rows(rows, fvi, fnz, n_bands: int, capacity: int,
-                     n_cols: int):
+                     n_cols: int, transposed: bool = False):
     """Fused bin + banded-row gather via cumsum-rank one-hot compaction.
 
     Produces EXACTLY what ``vmap(_bin_lists)`` + ``_gather_rows`` produce
@@ -230,9 +230,18 @@ def _bin_gather_rows(rows, fvi, fnz, n_bands: int, capacity: int,
     (one nonzero per output).  Falls back to the sort + plain-gather path
     at SMPL scale where the (NC·K, F) one-hot would dominate.
 
+    The contraction runs TRANSPOSED — (R, F) @ (F, NC·K) — so the MXU
+    output tiles put the NC·K slots on the 128-lane axis and R on
+    sublanes: the natural "ckf,fr->ckr" layout wastes (128-R)/128 of every
+    output tile (R = 26 → 5x; measured ~3 ms of the 12.4 ms frame at
+    b32/256² — the single largest glue cost).  Bitwise-identical output:
+    every element is still the one nonzero product.
+
     rows (B, F+1, R); fvi (B, F, 3, 2); fnz (B, F).
-    Returns (banded (B, NC, K, R), lists (B, NC, K) i32 into rows[F+1],
-    counts (B, NC) i32, dropped (B,) i32).
+    Returns (banded (B, NC, K, R) — or (B, NC, R, K) when ``transposed``,
+    the layout the backward kernel consumes, saving its relayout —
+    lists (B, NC, K) i32 into rows[F+1], counts (B, NC) i32,
+    dropped (B,) i32).
     """
     B, Fp1, R = rows.shape
     F = Fp1 - 1
@@ -243,6 +252,8 @@ def _bin_gather_rows(rows, fvi, fnz, n_bands: int, capacity: int,
             lambda v, n: _bin_lists(v, n, n_bands, K, n_cols))(fvi, fnz)
         banded = jax.vmap(lambda r, l: r[l])(rows, lists)
         counts = (lists < F).sum(axis=2).astype(jnp.int32)
+        if transposed:
+            banded = jnp.transpose(banded, (0, 1, 3, 2))
         return banded, lists, counts, dropped
 
     def one(rows_i, fvi_i, fnz_i):
@@ -254,14 +265,19 @@ def _bin_gather_rows(rows, fvi, fnz, n_bands: int, capacity: int,
         slots = jnp.arange(K, dtype=jnp.int32)
         oh = ((rank[:, None, :] == (slots + 1)[None, :, None])
               & overlap[:, None, :]).astype(jnp.float32)        # (NC, K, F)
-        banded = jnp.einsum("ckf,fr->ckr", oh, rows_i[:F],
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
+        bandedT = jax.lax.dot_general(                          # (R, NC*K)
+            jnp.transpose(rows_i[:F]), oh.reshape(NC * K, F),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
         empty = (slots[None, :] >= counts[:, None]).astype(jnp.float32)
-        banded = banded + empty[:, :, None] * rows_i[F][None, None, :]
-        ids = banded[:, :, FID]
+        bandedT = bandedT + rows_i[F][:, None] * empty.reshape(1, NC * K)
+        bandedT = bandedT.reshape(R, NC, K)
+        ids = bandedT[FID]
         lists = jnp.where(ids >= 0.0, ids, float(F)).astype(jnp.int32)
-        return banded, lists, counts.astype(jnp.int32), dropped
+        out = (jnp.transpose(bandedT, (1, 0, 2)) if transposed
+               else jnp.transpose(bandedT, (1, 2, 0)))
+        return out, lists, counts.astype(jnp.int32), dropped
 
     return jax.vmap(one)(rows, fvi, fnz)
 
@@ -282,10 +298,14 @@ def _gather_rows(rows, lists):
         return jax.vmap(lambda r, l: r[l])(rows, lists)
     oh = (lists.reshape(B_, NC * K)[:, :, None]
           == jnp.arange(Fp1, dtype=jnp.int32)).astype(jnp.float32)
-    banded = jnp.einsum("bkf,bfr->bkr", oh, rows,
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
-    return banded.reshape(B_, NC, K, R)
+    # transposed contraction: slots on the 128-lane axis of the output
+    # tiles (R = 14..26 would waste 5-9x of every tile the other way)
+    bandedT = jax.lax.dot_general(
+        jnp.transpose(rows, (0, 2, 1)), oh,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)                # (B, R, NC*K)
+    return jnp.transpose(bandedT, (0, 2, 1)).reshape(B_, NC, K, R)
 
 
 def default_capacity(num_faces: int, n_cells: int) -> int:
@@ -294,7 +314,14 @@ def default_capacity(num_faces: int, n_cells: int) -> int:
     (dist 2, elev 0-30, ±0.08 vertex deformation) stays lossless for every
     auto cell config (worst measured: 134 @256² 32x2 cells, 284 @128² 16x1;
     see tests/test_rasterize_v4.py).  Rounded to the 8-face chunk.  Env
-    MAGICMIRROR_BAND_CAPACITY overrides; overflow is always COUNTED."""
+    MAGICMIRROR_BAND_CAPACITY overrides; overflow is always COUNTED.
+
+    Dense meshes (SMPL-13776) at FAR cameras concentrate an F-fraction of
+    faces in a handful of cells (probe: 0.27-0.34F per cell), which no
+    per-cell rectangular capacity can absorb — (NC, 0.42F) banded rows is
+    190 MB of VMEM at SMPL/256².  Those configs route to the interval
+    stream (ops/pallas/rasterize_v6.py) whose capacity is TOTAL, not
+    per-cell."""
     import os
 
     env = os.environ.get("MAGICMIRROR_BAND_CAPACITY")
@@ -692,9 +719,11 @@ def _soft_backward(fvi, fz, fnz, g_sumlog, *, sigmainv, height, width,
     npix = band_rows * cell_w
     rows = jax.vmap(_face_rows)(fvi, fz, fnz)              # (B, F+1, R_PLAIN)
     K = -(-capacity // 128) * 128 if stream else capacity
-    banded, lists, counts, _ = _bin_gather_rows(rows, fvi, fnz, n_bands,
-                                                K, n_cols)
-    rowsT = jnp.transpose(banded, (0, 1, 3, 2))            # (B, NCELL, R, K)
+    rowsT, lists, counts, _ = _bin_gather_rows(rows, fvi, fnz, n_bands,
+                                               K, n_cols,
+                                               transposed=True)
+    # (B, NCELL, R, K) — the backward kernel's native layout, produced
+    # directly by the transposed contraction (no relayout)
     g_c = g_sumlog.reshape(B, n_bands, band_rows, n_cols, cell_w)
     g_c = jnp.transpose(g_c, (0, 1, 3, 2, 4))              # cell-major
     if stream:

@@ -78,17 +78,19 @@ def cell_shape(height: int, width: int):
 
 
 def default_chunk_capacity(n_cells: int, n_xw: int = 1) -> int:
-    """Static per-image chunk capacity: 2x the cell count covers the
-    adversarial camera sweep with ~25% headroom (worst measured 101 live
-    chunks at 64 cells, benchmarks/measure_uv_blocks.py); x-windowing
-    (n_xw > 1) multiplies entries for window-straddling cells, +50%
-    covers it (p50 cells touch one window).  Overflow is counted and the
+    """Static per-image chunk capacity: 3x the cell count covers the
+    adversarial camera sweep with headroom (worst measured 101 live
+    chunks at 64 cells for the sphere, benchmarks/measure_uv_blocks.py);
+    x-windowing (n_xw > 1) multiplies entries for window-straddling cells,
+    and dense-UV meshes (sphere2's fine atlas overflowed 3x by 8 chunks in
+    the round-4 adversarial sweep) need 4x.  Oversizing is free at run
+    time — the kernel walks live chunks only.  Overflow is counted and the
     caller falls back to the dense path (still exact).  Env
     MAGICMIRROR_TEX_CAP overrides."""
     env = os.environ.get("MAGICMIRROR_TEX_CAP")
     if env:
         return int(env)
-    return 2 * n_cells if n_xw <= 1 else 3 * n_cells
+    return 3 * n_cells if n_xw <= 1 else 4 * n_cells
 
 
 def n_x_windows(Wt: int) -> int:
