@@ -142,9 +142,18 @@ class DiffRender:
             from ..ops.pallas.rasterize_v4 import (rasterize_fused_v4,
                                                    rasterize_fused_v5,
                                                    stream_enabled)
+            from ..ops.pallas.rasterize_v6 import (DENSE_THRESHOLD,
+                                                   rasterize_fused_v6,
+                                                   v6_enabled)
 
-            raster = (rasterize_fused_v5 if stream_enabled()
-                      else rasterize_fused_v4)
+            if v6_enabled(num_faces >= DENSE_THRESHOLD):
+                # dense templates (SMPL-13776, sphere2): the banded
+                # per-cell capacity cannot absorb the far-camera density
+                # (VMEM/drops) — the flat interval stream can (v6)
+                raster = rasterize_fused_v6
+            else:
+                raster = (rasterize_fused_v5 if stream_enabled()
+                          else rasterize_fused_v4)
             face_idx, soft_mask, uv, normal, hard, dropped = (
                 raster(
                     face_vertices_image, face_vertices_camera[:, :, :, 2],
