@@ -230,12 +230,17 @@ def _bin_gather_rows(rows, fvi, fnz, n_bands: int, capacity: int,
     (one nonzero per output).  Falls back to the sort + plain-gather path
     at SMPL scale where the (NC·K, F) one-hot would dominate.
 
-    The contraction runs TRANSPOSED — (R, F) @ (F, NC·K) — so the MXU
-    output tiles put the NC·K slots on the 128-lane axis and R on
-    sublanes: the natural "ckf,fr->ckr" layout wastes (128-R)/128 of every
-    output tile (R = 26 → 5x; measured ~3 ms of the 12.4 ms frame at
-    b32/256² — the single largest glue cost).  Bitwise-identical output:
-    every element is still the one nonzero product.
+    Layout note (both directions MEASURED on the real chip, round 4): the
+    natural "ckf,fr->ckr" contraction puts R = 26 on the 128-lane axis of
+    every MXU output tile — nominally wasting 5x of the issue rate — but
+    the "fixed" transposed form (R, F) @ (F, NC·K) must then relayout its
+    (R, NC·K) output back to (NC, K, R) for the forward kernel, and that
+    lane↔sublane transpose costs MORE than the matmul win (bench at pure
+    defaults: 2,541 fps natural vs 1,849 fps transposed-everywhere).  So
+    the forward keeps the natural orientation; only the BACKWARD asks for
+    ``transposed=True``, whose (NC, R, K) consumer layout falls out of the
+    transposed contraction with no relayout at all.  Bitwise-identical
+    output either way: every element is the one nonzero product.
 
     rows (B, F+1, R); fvi (B, F, 3, 2); fnz (B, F).
     Returns (banded (B, NC, K, R) — or (B, NC, R, K) when ``transposed``,
@@ -265,19 +270,26 @@ def _bin_gather_rows(rows, fvi, fnz, n_bands: int, capacity: int,
         slots = jnp.arange(K, dtype=jnp.int32)
         oh = ((rank[:, None, :] == (slots + 1)[None, :, None])
               & overlap[:, None, :]).astype(jnp.float32)        # (NC, K, F)
-        bandedT = jax.lax.dot_general(                          # (R, NC*K)
-            jnp.transpose(rows_i[:F]), oh.reshape(NC * K, F),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
         empty = (slots[None, :] >= counts[:, None]).astype(jnp.float32)
-        bandedT = bandedT + rows_i[F][:, None] * empty.reshape(1, NC * K)
-        bandedT = bandedT.reshape(R, NC, K)
-        ids = bandedT[FID]
+        if transposed:
+            bandedT = jax.lax.dot_general(                      # (R, NC*K)
+                jnp.transpose(rows_i[:F]), oh.reshape(NC * K, F),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            bandedT = bandedT + rows_i[F][:, None] * empty.reshape(1, NC * K)
+            bandedT = bandedT.reshape(R, NC, K)
+            ids = bandedT[FID]
+            lists = jnp.where(ids >= 0.0, ids, float(F)).astype(jnp.int32)
+            out = jnp.transpose(bandedT, (1, 0, 2))             # (NC, R, K)
+            return out, lists, counts.astype(jnp.int32), dropped
+        banded = jnp.einsum("ckf,fr->ckr", oh, rows_i[:F],
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+        banded = banded + empty[:, :, None] * rows_i[F][None, None, :]
+        ids = banded[:, :, FID]
         lists = jnp.where(ids >= 0.0, ids, float(F)).astype(jnp.int32)
-        out = (jnp.transpose(bandedT, (1, 0, 2)) if transposed
-               else jnp.transpose(bandedT, (1, 2, 0)))
-        return out, lists, counts.astype(jnp.int32), dropped
+        return banded, lists, counts.astype(jnp.int32), dropped
 
     return jax.vmap(one)(rows, fvi, fnz)
 
@@ -298,14 +310,13 @@ def _gather_rows(rows, lists):
         return jax.vmap(lambda r, l: r[l])(rows, lists)
     oh = (lists.reshape(B_, NC * K)[:, :, None]
           == jnp.arange(Fp1, dtype=jnp.int32)).astype(jnp.float32)
-    # transposed contraction: slots on the 128-lane axis of the output
-    # tiles (R = 14..26 would waste 5-9x of every tile the other way)
-    bandedT = jax.lax.dot_general(
-        jnp.transpose(rows, (0, 2, 1)), oh,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)                # (B, R, NC*K)
-    return jnp.transpose(bandedT, (0, 2, 1)).reshape(B_, NC, K, R)
+    # natural orientation (slots on sublanes, R on lanes): the transposed
+    # form needs a lane↔sublane relayout of the output that measured
+    # slower than its matmul win (see _bin_gather_rows layout note)
+    banded = jnp.einsum("bkf,bfr->bkr", oh, rows,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+    return banded.reshape(B_, NC, K, R)
 
 
 def default_capacity(num_faces: int, n_cells: int) -> int:
