@@ -117,6 +117,22 @@ def main():
                                        hard.reshape(B, S, S))
         return out, soft, tdrop
 
+    def stage_texbuild(a):
+        """raster + the texture chunk-stream BUILD only (no tex kernel):
+        splits the texture stage into its XLA glue vs Pallas kernel."""
+        idx, soft, uv, normal, hard, dropped = stage_raster(a)
+        texcoord = uv.reshape(B, S, S, 2)
+        Ht, Wt = a["textures"].shape[1], a["textures"].shape[2]
+        ch, cw = tc.cell_shape(S, S)
+        y, x = tc._uv_to_texels(texcoord, Ht, Wt)
+        m = hard.reshape(B, S, S) > 0.5
+        yc = tc._to_cells(jnp.where(m, y, tc._FAR_Y), ch, cw)
+        xc = tc._to_cells(x, ch, cw)
+        mc = tc._to_cells(m.astype(jnp.float32), ch, cw) > 0.5
+        ncel = (S // ch) * (S // cw)
+        tcap = tc.default_chunk_capacity(ncel, tc.n_x_windows(Wt))
+        return tc._build_chunks(yc, xc, mc, Ht, Wt, tcap) + (soft,)
+
     def stage_full(a):
         return dr.render(**a)[0]
 
@@ -125,6 +141,7 @@ def main():
     t1c = bench(jax.jit(stage_bin), att) * 1e3
     t2 = bench(jax.jit(stage_prep), att) * 1e3
     t3 = bench(jax.jit(stage_raster), att) * 1e3
+    t3b = bench(jax.jit(stage_texbuild), att) * 1e3
     t4 = bench(jax.jit(stage_texture), att) * 1e3
     t5 = bench(jax.jit(stage_full), att) * 1e3
     print(f"camera+project     : {t1:7.2f} ms")
@@ -132,7 +149,8 @@ def main():
     print(f"+bin/banded gather : {t1c:7.2f} ms  (Δ {t1c-t1b:6.2f})")
     print(f"+stream build      : {t2:7.2f} ms  (Δ {t2-t1c:6.2f})")
     print(f"+v5 kernel         : {t3:7.2f} ms  (Δ {t3-t2:6.2f})")
-    print(f"+texture cells     : {t4:7.2f} ms  (Δ {t4-t3:6.2f})")
+    print(f"+tex chunk build   : {t3b:7.2f} ms  (Δ {t3b-t3:6.2f})")
+    print(f"+texture cells     : {t4:7.2f} ms  (Δ {t4-t3b:6.2f})")
     print(f"full render        : {t5:7.2f} ms  (Δ {t5-t4:6.2f})  "
           f"→ {B/t5*1e3:7.1f} fps")
 

@@ -94,7 +94,12 @@ def default_chunk_capacity(n_cells: int, n_xw: int = 1) -> int:
 
 
 def n_x_windows(Wt: int) -> int:
-    """Number of 128-col x-windows (1 = no x-windowing, full-width wx)."""
+    """Number of 128-col x-windows (1 = no x-windowing, full-width wx).
+    MAGICMIRROR_TEX_XW=0 disables x-windowing (perf A/B: windowing halves
+    the per-chunk MXU flops but multiplies the chunk count for
+    window-straddling cells — which side wins is overhead-dependent)."""
+    if os.environ.get("MAGICMIRROR_TEX_XW") == "0":
+        return 1
     return Wt // XBS if (Wt % XBS == 0 and Wt > XBS) else 1
 
 
