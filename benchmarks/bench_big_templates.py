@@ -22,6 +22,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import os as _o
+_o.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                        "/tmp/jax_tpu_cache")  # reuse tunnel compiles
 import jax
 import jax.numpy as jnp
 

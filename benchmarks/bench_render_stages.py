@@ -12,6 +12,9 @@ _sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), 
 
 import numpy as np
 
+import os as _o
+_o.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                        "/tmp/jax_tpu_cache")  # reuse tunnel compiles
 import jax
 import jax.numpy as jnp
 

@@ -19,6 +19,9 @@ import time
 
 import numpy as np
 
+import os as _o
+_o.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                        "/tmp/jax_tpu_cache")  # reuse tunnel compiles
 import jax
 import jax.numpy as jnp
 

@@ -134,13 +134,18 @@ def _cell_edges(cell, n_bands, n_cols):
 
 
 # ------------------------------------------------------------ forward kernel
-def _fwd6_kernel(pk_ref, nlive_ref, rows_ref, o_idx, o_sumlog, o_u, o_v,
+def _fwd6_kernel(nlive_ref, pk_ref, rows_ref, o_idx, o_sumlog, o_u, o_v,
                  o_nx, o_ny, o_nz, acc, *, npix, width, height, sigmainv,
                  n_cols, n_bands):
     """_fwd_stream_kernel with flat block addressing + the in-kernel
     overlap mask (`_overlap_cells` arithmetic) that zeroes block-slop
     faces' soft mass — reproducing the banned-face truncation of the
-    banded path exactly."""
+    banded path exactly.
+
+    pk is a BLOCKED SMEM operand ((1, tkc) per image), not scalar
+    prefetch: prefetch operands are whole-array SMEM-resident, and
+    B x tkc x 4 B = 1.6 MB at the default fwd capacity blows the 1 MB
+    SMEM (measured: Mosaic compile error at sphere2/256²/b32)."""
     b = pl.program_id(0)
     log_pc = float(np.log(_P_CLAMP))
     cell_w = width // n_cols
@@ -151,7 +156,7 @@ def _fwd6_kernel(pk_ref, nlive_ref, rows_ref, o_idx, o_sumlog, o_u, o_v,
         o[...] = jnp.zeros(o.shape, jnp.float32)
 
     def body(t, carry):
-        p = pk_ref[b, t]
+        p = pk_ref[0, 0, t]
         cell = p & 0xFFF
         blk = (p >> 12) & 0x3FFF
         first = (p >> 26) & 1
@@ -253,10 +258,15 @@ def _fwd6_call(pk, nlive, rows_flat, *, n_bands, npix, width, height,
                                height=height, sigmainv=sigmainv,
                                n_cols=n_cols, n_bands=n_bands)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(B,),
-        in_specs=[pl.BlockSpec((1, F8, R), lambda b, *_: (b, 0, 0),
-                               memory_space=pltpu.VMEM)],
+        in_specs=[
+            # (1, 1, tkc) block == the trailing array dims (any tkc legal);
+            # a (1, tkc) block trips Mosaic's (8, 128)-divisibility check
+            pl.BlockSpec((1, 1, pk.shape[1]), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, F8, R), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM)],
         out_specs=[pl.BlockSpec((1, n_cells, 1, npix),
                                 lambda b, *_: (b, 0, 0, 0),
                                 memory_space=pltpu.VMEM)] * 7,
@@ -264,12 +274,13 @@ def _fwd6_call(pk, nlive, rows_flat, *, n_bands, npix, width, height,
     )
     outs = pl.pallas_call(kernel, grid_spec=grid_spec, out_shape=out_shape,
                           compiler_params=_STREAM_COMPILER_PARAMS,
-                          interpret=interpret)(pk, nlive, rows_flat)
+                          interpret=interpret)(
+        nlive, pk[:, None, :], rows_flat)
     return [_uncell(o, B, n_bands, n_cols, band_rows_, cell_w) for o in outs]
 
 
 # ----------------------------------------------------------- backward kernel
-def _bwd6_kernel(pk_ref, nlive_ref, rowsT_ref, g_ref, out_ref, *, npix,
+def _bwd6_kernel(nlive_ref, pk_ref, rowsT_ref, g_ref, out_ref, *, npix,
                  width, height, sigmainv, n_cols, n_bands):
     """_bwd_stream_kernel with flat 128-face windows and per-face output
     ACCUMULATION (faces shared by several cells sum in VMEM — the banded
@@ -285,7 +296,7 @@ def _bwd6_kernel(pk_ref, nlive_ref, rowsT_ref, g_ref, out_ref, *, npix,
     eye128 = (ii == jj).astype(jnp.float32)
 
     def body(t, carry):
-        p = pk_ref[b, t]
+        p = pk_ref[0, 0, t]
         cell = p & 0xFFF
         w_idx = (p >> 12) & 0x3FFF
         woff = pl.multiple_of(w_idx * 128, 128)
@@ -378,9 +389,11 @@ def _bwd6_call(pk, nlive, rowsT_flat, g_banded, *, n_cells, npix, width,
                                height=height, sigmainv=sigmainv,
                                n_cols=n_cols, n_bands=n_bands)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(B,),
         in_specs=[
+            pl.BlockSpec((1, 1, pk.shape[1]), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, R, F128), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_cells, npix // 128, 128),
@@ -394,7 +407,7 @@ def _bwd6_call(pk, nlive, rowsT_flat, g_banded, *, n_cells, npix, width,
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, 16, F128), jnp.float32),
         compiler_params=_STREAM_COMPILER_PARAMS,
-        interpret=interpret)(pk, nlive, rowsT_flat, g_banded)
+        interpret=interpret)(nlive, pk[:, None, :], rowsT_flat, g_banded)
 
 
 def _pad_rows(rows, chunk):
