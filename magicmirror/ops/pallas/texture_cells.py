@@ -331,6 +331,167 @@ def _masked_dense(texcoord, textures, texmask):
     return texture_mapping_mxu(texcoord, textures) * texmask[..., None]
 
 
+# --------------------------------------------------------------------------
+# streamed backward (VERDICT r4 item 4): walk the SAME live chunk stream as
+# the forward and emit d_textures / d_y / d_x — the dense tent-matmul VJP
+# materialized a (P, Ht) weight matrix and a (P, Wt*C) intermediate that are
+# 99.6% structural zeros, the exact waste the forward kernel eliminated.
+#
+# Per chunk (3 stacked-channel MXU dots vs the forward's 1):
+#   z3 = win3 @ wx      — recompute the forward interpolation partial
+#   t3 = win3 @ dwx     — x-tent derivative partial
+#   dW3 = (w*g)3 @ wxᵀ  — texture cotangent for the chunk's 4 row blocks
+#   d_y += Σ g·dwy·z3,  d_x += Σ g·w·t3   (VPU sublane reductions)
+# d_textures accumulates by read-modify-write into a per-image (3Ht, Wt)
+# VMEM block (serial chunk walk per image → no write races).
+#
+# d_texmask is returned as Σ_c g·out (exact at covered pixels; ZERO at
+# uncovered ones where the dense VJP would give g·texcolor(clipped-uv)) —
+# downstream always drops it: the rasterizers' custom VJPs discard the hard
+# -mask cotangent (rasterize_v4._fused_bwd ignores cots[4]).
+# --------------------------------------------------------------------------
+
+
+def _tex_bwd_kernel(pk1_ref, pk2_ref, nlive_ref, tex_ref, yc_ref, xc_ref,
+                    g_ref, dtex_ref, dy_ref, dx_ref, *,
+                    Ht, Wt, NC, npix, NBLK, NXB):
+    b = pl.program_id(0)
+    K = BS * BPC
+    XW = XBS if NXB > 1 else Wt
+
+    dtex_ref[...] = jnp.zeros((1, 3 * Ht, Wt), jnp.float32)
+    dy_ref[...] = jnp.zeros((1, NC, npix), jnp.float32)
+    dx_ref[...] = jnp.zeros((1, NC, npix), jnp.float32)
+
+    def body(t, carry):
+        p1 = pk1_ref[b, t]
+        p2 = pk2_ref[b, t]
+        cell = p1 & 0xFFFF
+        xb = (p2 >> 20) & 7
+
+        kio = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
+        jj = kio // BS
+        rr = kio - jj * BS
+        blkv = (p2 >> (5 * jj)) & 31
+        rowv = jnp.where(blkv < NBLK, (BS * blkv + rr).astype(jnp.float32),
+                         _FAR_ROW)
+        y = yc_ref[0, pl.ds(cell, 1), :]                        # (1, npix)
+        d = rowv - y                                            # (K, npix)
+        w = jax.nn.relu(1.0 - jnp.abs(d))
+        dwy = jnp.where(w > 0.0,
+                        jnp.where(d >= 0.0, 1.0, -1.0), 0.0)    # dw/dy
+
+        xv = xc_ref[0, pl.ds(cell, 1), :]                       # (1, npix)
+        xi = (jax.lax.broadcasted_iota(jnp.int32, (XW, 1), 0)
+              + xb * XW).astype(jnp.float32)
+        dxw = xi - xv                                           # (XW, npix)
+        wx_f = jax.nn.relu(1.0 - jnp.abs(dxw))
+        wx = wx_f.astype(jnp.bfloat16)
+        dwx = jnp.where(wx_f > 0.0,
+                        jnp.where(dxw >= 0.0, 1.0, -1.0),
+                        0.0).astype(jnp.bfloat16)               # dwx/dxv
+
+        xoff = pl.multiple_of(xb * XW, XW)
+        wins = []
+        for c in range(3):
+            for j in range(BPC):
+                bj = jnp.clip((p2 >> (5 * j)) & 31, 0, NBLK - 1)
+                if NXB > 1:
+                    wins.append(tex_ref[0, pl.ds(c * Ht + BS * bj, BS),
+                                        pl.ds(xoff, XW)])
+                else:
+                    wins.append(tex_ref[0, pl.ds(c * Ht + BS * bj, BS), :])
+        win3 = jnp.concatenate(wins, axis=0)                    # (3K, XW)
+        z3 = jax.lax.dot_general(
+            win3, wx, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                 # (3K, npix)
+        t3 = jax.lax.dot_general(
+            win3, dwx, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                 # (3K, npix)
+
+        g_cell = g_ref[0, pl.ds(cell, 1)]                       # (1, 8, npix)
+        dy_c = jnp.zeros((1, npix), jnp.float32)
+        dx_c = jnp.zeros((1, npix), jnp.float32)
+        a_parts = []
+        for c in range(3):
+            gc = g_cell[0, c:c + 1, :]                          # (1, npix)
+            zs = z3[c * K:(c + 1) * K]
+            ts = t3[c * K:(c + 1) * K]
+            dy_c += gc * jnp.sum(dwy * zs, axis=0, keepdims=True)
+            dx_c += gc * jnp.sum(w * ts, axis=0, keepdims=True)
+            a_parts.append(w * gc)                              # (K, npix)
+        a3 = jnp.concatenate(a_parts, axis=0).astype(jnp.bfloat16)
+        dW3 = jax.lax.dot_general(
+            a3, wx, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                 # (3K, XW)
+
+        dy_ref[0, pl.ds(cell, 1), :] += dy_c
+        dx_ref[0, pl.ds(cell, 1), :] += dx_c
+        for c in range(3):
+            for j in range(BPC):
+                bj = jnp.clip((p2 >> (5 * j)) & 31, 0, NBLK - 1)
+                # invalid slots (blkv >= NBLK) have w == 0 rows -> adding
+                # zeros to the clipped target block is a no-op
+                seg = dW3[c * K + j * BS:c * K + (j + 1) * BS]  # (BS, XW)
+                if NXB > 1:
+                    cur = dtex_ref[0, pl.ds(c * Ht + BS * bj, BS),
+                                   pl.ds(xoff, XW)]
+                    dtex_ref[0, pl.ds(c * Ht + BS * bj, BS),
+                             pl.ds(xoff, XW)] = cur + seg
+                else:
+                    cur = dtex_ref[0, pl.ds(c * Ht + BS * bj, BS), :]
+                    dtex_ref[0, pl.ds(c * Ht + BS * bj, BS), :] = cur + seg
+        return carry
+
+    jax.lax.fori_loop(0, nlive_ref[b], body, 0)
+
+
+def _tex_bwd_call(pk1, pk2, nlive, texT, yc, xc, g_cells, *,
+                  Ht, Wt, NC, npix, interpret):
+    B = texT.shape[0]
+    kernel = functools.partial(_tex_bwd_kernel, Ht=Ht, Wt=Wt, NC=NC,
+                               npix=npix, NBLK=Ht // BS,
+                               NXB=n_x_windows(Wt))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 3 * Ht, Wt), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NC, npix), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NC, npix), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NC, 8, npix), lambda b, *_: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 3 * Ht, Wt), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NC, npix), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NC, npix), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 3 * Ht, Wt), jnp.float32),
+            jax.ShapeDtypeStruct((B, NC, npix), jnp.float32),
+            jax.ShapeDtypeStruct((B, NC, npix), jnp.float32),
+        ],
+        interpret=interpret,
+    )(pk1, pk2, nlive, texT, yc, xc, g_cells)
+
+
+def bwd_stream_enabled() -> bool:
+    """MAGICMIRROR_TEX_BWD=dense routes gradients through the dense tent
+    -matmul VJP instead of the streamed kernel (A/B + fallback knob)."""
+    return os.environ.get("MAGICMIRROR_TEX_BWD") != "dense"
+
+
 def _uv_to_texels(texcoord, Ht, Wt):
     """uv in [0,1]^2 (v up, kaolin convention) -> float texel coords, the
     exact arithmetic of texture_mapping_mxu (ops/sampling.py:157-160)."""
@@ -342,6 +503,17 @@ def _uv_to_texels(texcoord, Ht, Wt):
     return y, x
 
 
+def _prep_cells(texcoord, texmask, Ht, Wt, ch, cw):
+    """texcoord/texmask -> cell-layout tap coordinates (the differentiable
+    prefix of the kernel path; its jax.vjp chains d_y/d_x -> d_texcoord,
+    including the mask sentinel's gradient block and the uv clip)."""
+    y, x = _uv_to_texels(texcoord, Ht, Wt)
+    m = texmask > 0.5
+    yc = _to_cells(jnp.where(m, y, _FAR_Y), ch, cw)
+    xc = _to_cells(x, ch, cw)
+    return yc, xc
+
+
 def _texture_cells_fwd_impl(texcoord, textures, texmask, interpret):
     B, H, W, _ = texcoord.shape
     _, Ht, Wt, C = textures.shape
@@ -351,11 +523,8 @@ def _texture_cells_fwd_impl(texcoord, textures, texmask, interpret):
     npix = ch * cw
     tcap = default_chunk_capacity(NC, n_x_windows(Wt))
 
-    y, x = _uv_to_texels(texcoord, Ht, Wt)
-    m = texmask > 0.5
-    yc = _to_cells(jnp.where(m, y, _FAR_Y), ch, cw)
-    xc = _to_cells(x, ch, cw)
-    mc = _to_cells(m.astype(jnp.float32), ch, cw) > 0.5
+    yc, xc = _prep_cells(texcoord, texmask, Ht, Wt, ch, cw)
+    mc = _to_cells((texmask > 0.5).astype(jnp.float32), ch, cw) > 0.5
     pk1, pk2, nlive, dropped = _build_chunks(yc, xc, mc, Ht, Wt, tcap)
 
     texT = jnp.transpose(textures, (0, 3, 1, 2)).reshape(
@@ -372,25 +541,73 @@ def _texture_cells_fwd_impl(texcoord, textures, texmask, interpret):
 
     out = jax.lax.cond(jnp.any(dropped > 0), dense_branch, kernel_branch,
                        operand=None)
-    return out, dropped
+    return out, dropped, (pk1, pk2, nlive)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _texture_cells(texcoord, textures, texmask, interpret):
-    return _texture_cells_fwd_impl(texcoord, textures, texmask, interpret)
+    out, dropped, _ = _texture_cells_fwd_impl(texcoord, textures, texmask,
+                                              interpret)
+    return out, dropped
 
 
 def _texture_cells_fwd(texcoord, textures, texmask, interpret):
-    out, dropped = _texture_cells_fwd_impl(texcoord, textures, texmask,
-                                           interpret)
-    return (out, dropped), (texcoord, textures, texmask)
+    out, dropped, stream = _texture_cells_fwd_impl(texcoord, textures,
+                                                   texmask, interpret)
+    return (out, dropped), (texcoord, textures, texmask, out, dropped,
+                            stream)
 
 
 def _texture_cells_bwd(interpret, res, g):
-    texcoord, textures, texmask = res
+    texcoord, textures, texmask, out, dropped, stream = res
     g_out, _ = g  # dropped is an int diagnostic — no cotangent
-    _, vjp = jax.vjp(_masked_dense, texcoord, textures, texmask)
-    return vjp(g_out)
+
+    if not bwd_stream_enabled():
+        _, vjp = jax.vjp(_masked_dense, texcoord, textures, texmask)
+        return vjp(g_out)
+
+    pk1, pk2, nlive = stream
+    B, H, W, _ = texcoord.shape
+    _, Ht, Wt, C = textures.shape
+    ch, cw = cell_shape(H, W)
+    NC = (H // ch) * (W // cw)
+    npix = ch * cw
+
+    (yc, xc), vjp_prep = jax.vjp(
+        lambda tc: _prep_cells(tc, texmask, Ht, Wt, ch, cw), texcoord)
+    texT = jnp.transpose(textures, (0, 3, 1, 2)).reshape(
+        B, C * Ht, Wt).astype(jnp.bfloat16)
+    # cotangent in cell layout, channels on 8-padded sublanes
+    gc3 = jnp.stack([_to_cells(g_out[..., c], ch, cw) for c in range(3)],
+                    axis=2)                                     # (B, NC, 3, npix)
+    g_cells = jnp.concatenate(
+        [gc3, jnp.zeros((B, NC, 5, npix), gc3.dtype)], axis=2)
+
+    def stream_branch(_):
+        dtexT, dyc, dxc = _tex_bwd_call(
+            pk1, pk2, nlive, texT, yc, xc, g_cells, Ht=Ht, Wt=Wt, NC=NC,
+            npix=npix, interpret=interpret)
+        d_texcoord, = vjp_prep((dyc, dxc))
+        d_textures = jnp.transpose(
+            dtexT.reshape(B, C, Ht, Wt), (0, 2, 3, 1))
+        return d_texcoord, d_textures
+
+    def dense_branch(_):
+        # forward rendered this image set via the dense fallback (stream
+        # overflow) — differentiate the same formulation
+        _, vjp = jax.vjp(
+            lambda tc, tex: _masked_dense(tc, tex, texmask),
+            texcoord, textures)
+        return vjp(g_out)
+
+    d_texcoord, d_textures = jax.lax.cond(
+        jnp.any(dropped > 0), dense_branch, stream_branch, operand=None)
+    # exact at covered pixels (out = texcolor there); ZERO at uncovered
+    # ones unlike the dense VJP's g·texcolor(clipped-uv) — downstream
+    # always discards this cotangent (the rasterizers' custom VJPs drop
+    # the hard-mask gradient), see module note above
+    d_texmask = jnp.sum(g_out * out, axis=-1)
+    return d_texcoord, d_textures, d_texmask
 
 
 _texture_cells.defvjp(_texture_cells_fwd, _texture_cells_bwd)

@@ -60,11 +60,13 @@ def test_forward_out_of_range_uv(scene):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=8e-3)
 
 
-def test_gradients_route_through_dense_math(scene):
+def test_gradients_route_through_dense_math(scene, monkeypatch):
     uv, tex, mask = scene
+    # MAGICMIRROR_TEX_BWD=dense: the legacy dense-VJP route.  Linear loss ->
+    # cotangent independent of the (bf16-rounded) primal, so the custom-vjp
+    # grads must match the dense path's EXACTLY
+    monkeypatch.setenv("MAGICMIRROR_TEX_BWD", "dense")
 
-    # linear loss -> cotangent independent of the (bf16-rounded) primal, so
-    # the custom-vjp grads must match the dense path's EXACTLY
     def loss_k(u, t):
         o, _ = texture_render(u, t, mask, interpret=True)
         return jnp.sum(o * 3.0)
@@ -76,6 +78,88 @@ def test_gradients_route_through_dense_math(scene):
     gd = jax.grad(loss_d, argnums=(0, 1))(uv, tex)
     for a, b in zip(gk, gd):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def _knot_safe_uv(rs, b, h, w, Ht, Wt):
+    """uv whose texel coordinates land mid-cell (frac 0.5): the tent
+    gradient is DISCONTINUOUS at integer texel coords, and two separately
+    -jitted graphs can round a knot-adjacent coordinate to opposite sides
+    (FMA/fusion 1-ulp differences — CLAUDE.md: bitwise only within ONE
+    jit), flipping a whole tap's gradient.  Mid-cell coordinates keep both
+    formulations on the same side of every knot."""
+    xi = rs.randint(0, Wt - 1, (b, h, w)).astype(np.float32) + 0.5
+    yi = rs.randint(0, Ht - 1, (b, h, w)).astype(np.float32) + 0.5
+    # invert _uv_to_texels: x = u*Wt - 0.5, y = (1-v)*Ht - 0.5
+    u = (xi + 0.5) / Wt
+    v = 1.0 - (yi + 0.5) / Ht
+    return jnp.asarray(np.stack([u, v], axis=-1), jnp.float32)
+
+
+def _grad_pair(uv, tex, mask, weights):
+    """(streamed-kernel grads, dense grads) for a weighted-sum loss."""
+    def loss_k(u, t, m):
+        o, _ = texture_render(u, t, m, interpret=True)
+        return jnp.sum(o * weights)
+
+    def loss_d(u, t, m):
+        return jnp.sum(_masked_dense(u, t, m) * weights)
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2))(uv, tex, mask)
+    gd = jax.grad(loss_d, argnums=(0, 1, 2))(uv, tex, mask)
+    return gk, gd
+
+
+def test_streamed_backward_matches_dense(scene):
+    """The streamed Pallas backward (VERDICT r4 item 4) vs the dense
+    tent-matmul VJP: d_texcoord and d_textures agree to bf16 summation
+    -order tolerance; d_texmask agrees at covered pixels (uncovered ones
+    are zero by design — downstream drops the hard-mask cotangent)."""
+    _, tex, mask = scene
+    rs = np.random.RandomState(7)
+    uv = _knot_safe_uv(rs, B, H, W, HT, WT)
+    weights = jnp.asarray(rs.randn(B, H, W, 3), jnp.float32)
+    (g_uv, g_tex, g_m), (d_uv, d_tex, d_m) = _grad_pair(uv, tex, mask,
+                                                        weights)
+    scale_uv = float(jnp.max(jnp.abs(d_uv))) or 1.0
+    assert float(jnp.max(jnp.abs(g_uv - d_uv))) / scale_uv < 2e-2
+    scale_t = float(jnp.max(jnp.abs(d_tex))) or 1.0
+    assert float(jnp.max(jnp.abs(g_tex - d_tex))) / scale_t < 2e-2
+    cov = np.asarray(mask) > 0.5
+    dm_err = np.abs(np.asarray(g_m) - np.asarray(d_m))[cov]
+    assert dm_err.max() / (float(jnp.max(jnp.abs(d_m))) or 1.0) < 2e-2
+    np.testing.assert_array_equal(np.asarray(g_m)[~cov], 0.0)
+
+
+def test_streamed_backward_x_windowed():
+    """Wt > 128 engages the x-windowed stream in the backward too."""
+    from magicmirror.ops.pallas.texture_cells import n_x_windows
+
+    rs = np.random.RandomState(5)
+    Ht2, Wt2 = 128, 256
+    assert n_x_windows(Wt2) == 2
+    uv = _knot_safe_uv(rs, B, H, W, Ht2, Wt2)
+    tex = jnp.asarray(rs.rand(B, Ht2, Wt2, 3), jnp.float32)
+    mask = jnp.asarray((rs.rand(B, H, W) > 0.4).astype(np.float32))
+    weights = jnp.asarray(rs.randn(B, H, W, 3), jnp.float32)
+    (g_uv, g_tex, _), (d_uv, d_tex, _) = _grad_pair(uv, tex, mask, weights)
+    assert (float(jnp.max(jnp.abs(g_uv - d_uv)))
+            / (float(jnp.max(jnp.abs(d_uv))) or 1.0)) < 2e-2
+    assert (float(jnp.max(jnp.abs(g_tex - d_tex)))
+            / (float(jnp.max(jnp.abs(d_tex))) or 1.0)) < 2e-2
+
+
+def test_streamed_backward_overflow_fallback(scene, monkeypatch):
+    """Stream overflow -> BOTH forward and backward take the dense
+    formulation (the cond in _texture_cells_bwd)."""
+    _, tex, mask = scene
+    rs = np.random.RandomState(11)
+    uv = _knot_safe_uv(rs, B, H, W, HT, WT)
+    monkeypatch.setenv("MAGICMIRROR_TEX_CAP", "2")
+    weights = jnp.full((B, H, W, 3), 2.0, jnp.float32)
+    (g_uv, g_tex, _), (d_uv, d_tex, _) = _grad_pair(uv, tex, mask, weights)
+    np.testing.assert_allclose(np.asarray(g_uv), np.asarray(d_uv), atol=4e-3)
+    np.testing.assert_allclose(np.asarray(g_tex), np.asarray(d_tex),
+                               atol=4e-3)
 
 
 def test_overflow_falls_back_dense_exact(scene, monkeypatch):
