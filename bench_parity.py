@@ -1,7 +1,14 @@
 #!/usr/bin/env python
-"""On-chip kernel parity artifact (VERDICT round-1 item 7): run the COMPILED
-(non-interpret) Pallas v4 rasterizer forward + backward on the real TPU
-against the XLA golden path and write a JSON verdict to PARITY.json.
+"""On-chip kernel parity artifact (VERDICT round-1 item 7; round-4 item 3):
+run the COMPILED (non-interpret) Pallas rasterizers on the real TPU against
+the XLA golden path and write a JSON verdict to PARITY.json.
+
+Entries:
+  v4_sphere — the banded v4 fused kernel on the 1280-face sphere (the
+              default path's kernel basis), forward + backward.
+  v6_smpl   — the flat interval-stream v6 kernel on the 13,776-face SMPL
+              template (the dense-template routing the trainer takes at
+              renderer.py DENSE_THRESHOLD), forward + backward.
 
     python bench_parity.py          # on TPU; errors out if no TPU present
 """
@@ -16,23 +23,15 @@ import jax
 import jax.numpy as jnp
 
 
-def main():
-    on_tpu = jax.devices()[0].platform == "tpu"
-    if not on_tpu and "--allow-cpu" not in sys.argv:
-        print(json.dumps({"ok": False, "error": "no TPU present"}))
-        sys.exit(1)
-
+def _setup(template, B, H, W, seed=0):
     from magicmirror.geometry import camera as cam
     from magicmirror.geometry import mesh as mesh_ops
     from magicmirror.geometry.obj_io import load_obj
-    from magicmirror.ops.rasterize import dibr_rasterization
-    from magicmirror.ops.pallas.rasterize_v4 import rasterize_fused_v4
 
-    mesh = load_obj("template/sphere.obj", with_materials=True)
+    mesh = load_obj(template, with_materials=True)
     v = mesh_ops.normalize_template(mesh.vertices, 1.0)
     faces = mesh.faces.astype(np.int32)
-    B, H, W = 4, 128, 128
-    rng = np.random.RandomState(0)
+    rng = np.random.RandomState(seed)
     verts = jnp.asarray(v[None] + rng.uniform(-0.05, 0.05, (B,) + v.shape),
                         jnp.float32)
     proj = cam.perspective_projection(math.atan(1.0 / 2.5) * 2, ratio=1.0)
@@ -44,20 +43,25 @@ def main():
         cpos, jnp.zeros((B, 3), jnp.float32),
         jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0], jnp.float32), (B, 3)))
     fvc, fvi, fn = cam.prepare_vertices(verts, jnp.asarray(faces), proj, tr)
-    fz, fnz = fvc[:, :, :, 2], fn[:, :, 2]
-    F = faces.shape[0]
     face_uvs = jnp.asarray(mesh.uvs[mesh.face_uvs_idx])
     w_soft = jnp.asarray(rng.randn(B, H * W), jnp.float32)
     w_uv = jnp.asarray(rng.randn(B, H * W, 2), jnp.float32)
+    return fvi, fvc[:, :, :, 2], fn, fn[:, :, 2], face_uvs, w_soft, w_uv
 
-    # ---- forward parity (compiled kernel vs XLA golden)
+
+def _parity(raster_fn, template, B, H, W, on_tpu):
+    """Compiled-kernel vs XLA-golden forward and gradient parity."""
+    from magicmirror.ops.rasterize import dibr_rasterization
+
+    fvi, fz, fn, fnz, face_uvs, w_soft, w_uv = _setup(template, B, H, W)
+    F = fnz.shape[1]
     attrs = [jnp.ones((B, F, 3, 1), jnp.float32),
              jnp.broadcast_to(face_uvs[None], (B, F, 3, 2)),
              fn[:, :, None, :].repeat(3, axis=2)]
     golden = jax.jit(lambda fvi_: dibr_rasterization(
         H, W, fz, fvi_, attrs, fnz, soft_mode="line"))
     (feats, soft_g, idx_g) = golden(fvi)
-    pallas = jax.jit(lambda fvi_: rasterize_fused_v4(
+    pallas = jax.jit(lambda fvi_: raster_fn(
         fvi_, fz, fnz, face_uvs, fn, height=H, width=W,
         interpret=not on_tpu))
     idx, soft, uv, normal, hard, dropped = pallas(fvi)
@@ -67,7 +71,6 @@ def main():
     soft_err = float(jnp.max(jnp.abs(soft.reshape(B, H, W) - soft_g)))
     uv_err = float(jnp.max(jnp.abs(uv.reshape(B, H, W, 2) - feats[1])))
 
-    # ---- backward parity (compiled Pallas backward vs golden autodiff)
     def loss_g(fvi_):
         f, s, _ = golden(fvi_)
         return jnp.sum(s.reshape(B, -1) * w_soft) + jnp.sum(
@@ -82,17 +85,46 @@ def main():
     scale = float(jnp.max(jnp.abs(g_g)))
     grad_rel = float(jnp.max(jnp.abs(g_g - g_p))) / max(scale, 1e-30)
 
-    verdict = {
+    return {
         "ok": bool(idx_mismatch < 1e-4 and soft_err < 5e-4
                    and uv_err < 1e-4 and grad_rel < 1e-4
                    and int(np.asarray(dropped).sum()) == 0),
-        "backend": jax.default_backend(),
-        "compiled_pallas": on_tpu,
+        "template": os.path.basename(template),
+        "shape": [B, H, W],
         "idx_mismatch_frac": idx_mismatch,
         "soft_max_abs_err": soft_err,
         "uv_max_abs_err": uv_err,
         "grad_max_rel_err": grad_rel,
         "dropped": int(np.asarray(dropped).sum()),
+    }
+
+
+def main():
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if not on_tpu and "--allow-cpu" not in sys.argv:
+        print(json.dumps({"ok": False, "error": "no TPU present"}))
+        sys.exit(1)
+
+    from magicmirror.ops.pallas.rasterize_v4 import rasterize_fused_v4
+    from magicmirror.ops.pallas.rasterize_v6 import rasterize_fused_v6
+
+    v4 = _parity(rasterize_fused_v4, "template/sphere.obj", 4, 128, 128,
+                 on_tpu)
+    v6 = _parity(rasterize_fused_v6, "template/smpl_uv.obj", 2, 128, 128,
+                 on_tpu)
+
+    verdict = {
+        "ok": bool(v4["ok"] and v6["ok"]),
+        "backend": jax.default_backend(),
+        "compiled_pallas": on_tpu,
+        # v4 metrics stay top-level for cross-round continuity
+        "idx_mismatch_frac": v4["idx_mismatch_frac"],
+        "soft_max_abs_err": v4["soft_max_abs_err"],
+        "uv_max_abs_err": v4["uv_max_abs_err"],
+        "grad_max_rel_err": v4["grad_max_rel_err"],
+        "dropped": v4["dropped"],
+        "v4_sphere": v4,
+        "v6_smpl": v6,
     }
     out_path = os.environ.get("PARITY_OUT", "PARITY.json")
     with open(out_path, "w") as fp:

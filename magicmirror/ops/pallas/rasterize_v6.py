@@ -97,6 +97,11 @@ def _block_stream(overlap, nblk: int, chunk_pad: int, tkc: int):
     """
     NC = overlap.shape[0]
     F = overlap.shape[1]
+    # packing field widths (ADVICE r4): cell gets bits 0-11 with 0xFFF as
+    # the dead sentinel, blk gets bits 12-25 — overflow would silently
+    # corrupt the decode (wrong pixels / wrong faces), so fail loudly
+    assert NC < 0xFFF, f"v6 stream packs cell in 12 bits; n_cells={NC}"
+    assert nblk <= 0x3FFF, f"v6 stream packs blk in 14 bits; nblk={nblk}"
     pad = nblk * chunk_pad - F
     ov = jnp.concatenate(
         [overlap, jnp.zeros((NC, pad), bool)], axis=1) if pad else overlap

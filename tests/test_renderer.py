@@ -117,3 +117,44 @@ def test_flagship_642_geometry(dr):
     assert dr.face_uvs.shape == (1280, 3, 2)
     # edges: closed manifold → E = 3F/2
     assert dr.edges.shape[0] == 1920
+
+
+def test_dense_template_routes_to_v6(monkeypatch):
+    """Renderer-level DENSE_THRESHOLD dispatch (VERDICT r4 item 3): the
+    pallas backend must route dense templates (SMPL 13,776 f >= 2048) to the
+    v6 flat interval stream and sparse ones (sphere 1,280 f) to the banded
+    v5/v4 path — this pins the exact code path the trainer takes on SMPL
+    (render/renderer.py DENSE_THRESHOLD routing), end-to-end through
+    DiffRender.render, with output parity vs the XLA golden renderer."""
+    from magicmirror.ops.pallas import rasterize_v4 as r4
+    from magicmirror.ops.pallas import rasterize_v6 as r6
+
+    calls = {"v6": 0, "v5": 0, "v4": 0}
+    real_v6, real_v5, real_v4 = (r6.rasterize_fused_v6,
+                                 r4.rasterize_fused_v5,
+                                 r4.rasterize_fused_v4)
+
+    def spy(name, real):
+        def wrapped(*a, **k):
+            calls[name] += 1
+            return real(*a, **k)
+        return wrapped
+
+    monkeypatch.setattr(r6, "rasterize_fused_v6", spy("v6", real_v6))
+    monkeypatch.setattr(r4, "rasterize_fused_v5", spy("v5", real_v5))
+    monkeypatch.setattr(r4, "rasterize_fused_v4", spy("v4", real_v4))
+
+    smpl = os.path.join(os.path.dirname(__file__), "..", "template",
+                        "smpl_uv.obj")
+    for template, expect in ((smpl, "v6"), (TEMPLATE, "v5")):
+        dr_p = DiffRender(template, 32, ratio=1.0, backend="pallas")
+        dr_x = DiffRender(template, 32, ratio=1.0, backend="xla")
+        att = make_att(dr_p, B=1)
+        before = dict(calls)
+        rgba_p, out_att = dr_p.render(**att)
+        assert calls[expect] == before[expect] + 1, (template, calls)
+        assert int(np.asarray(out_att.get(
+            "dropped_faces", jnp.zeros(1))).sum()) == 0
+        rgba_x, _ = dr_x.render(**att)
+        np.testing.assert_allclose(np.asarray(rgba_p), np.asarray(rgba_x),
+                                   atol=3e-4)
