@@ -32,25 +32,83 @@ def _base_opt(adamw: bool, beta1: float, wd: float, amsgrad: bool):
     )
 
 
+def _group_labels(params):
+    """'backbone' for the shape_enc backbone subtree, 'main' elsewhere."""
+    def walk(tree, path=()):
+        if isinstance(tree, dict):
+            return {k: walk(v, path + (k,)) for k, v in tree.items()}
+        # shape_enc backbone subtree → 'backbone' group
+        if len(path) >= 2 and path[0] == "shape_enc" and path[1] == "backbone":
+            return "backbone"
+        return "main"
+
+    return walk(params)
+
+
+def flatten_groupscale(inner, label_fn=None, group_scales=None):
+    """Run ``inner`` ONCE on all leaves raveled into a single 1-D vector,
+    then multiply by a per-element group-scale vector.
+
+    Adam/amsgrad/weight-decay are elementwise, so this is math-identical to
+    ``optax.multi_transform({g: chain(inner, scale(s_g))})`` — but it
+    collapses the per-leaf update ocean (~12 StableHLO ops x 2 masked groups
+    x ~300 leaves, plus a broadcast+constant pair per op) into a handful of
+    fused 1-D loops.  That matters twice: XLA:CPU compile of the multichip
+    dryrun scales superlinearly with op count (round-5 gate work, see
+    docs/DESIGN.md), and per-op dispatch overhead on the remote-TPU path.
+
+    The group-scale vector is built HOST-SIDE from the static leaf shapes at
+    trace time — zero HLO ops, one embedded constant."""
+    import jax
+    import numpy as np
+    from jax.flatten_util import ravel_pytree
+
+    def _scale_vec(params):
+        if label_fn is None:
+            return None
+        labels = label_fn(params)
+        flat_labels = jax.tree_util.tree_leaves(labels)
+        flat_params = jax.tree_util.tree_leaves(params)
+        segs = [np.full(int(np.prod(np.shape(p))), group_scales[l],
+                        np.float32)
+                for l, p in zip(flat_labels, flat_params)]
+        vec = np.concatenate(segs) if segs else np.zeros(0, np.float32)
+        return None if (vec == 1.0).all() else jnp.asarray(vec)
+
+    def init_fn(params):
+        flat, _ = ravel_pytree(params)
+        return inner.init(flat)
+
+    def update_fn(updates, state, params=None):
+        flat_u, unravel = ravel_pytree(updates)
+        flat_p = ravel_pytree(params)[0] if params is not None else None
+        new_u, new_state = inner.update(flat_u, state, flat_p)
+        sv = _scale_vec(updates)
+        if sv is not None:
+            new_u = new_u * sv
+        return unravel(new_u), new_state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer_e(adamw: bool = False, beta1: float = 0.5, wd: float = 0.0,
-                     amsgrad: bool = True, backbone_scale: float = 0.05):
+                     amsgrad: bool = True, backbone_scale: float = 0.05,
+                     flat: bool = True):
     """Encoder optimizer with the shape-backbone 0.05x lr group.
 
     The learning rate enters as a runtime scalar through
     ``optax.scale_by_learning_rate`` on an injected hyperparam: we instead
     multiply the per-group scale and apply ``-lr`` at update time via the
     state's ``lr`` argument (see ``apply_updates_scaled``).
-    """
-    def label_fn(params):
-        def walk(tree, path=()):
-            if isinstance(tree, dict):
-                return {k: walk(v, path + (k,)) for k, v in tree.items()}
-            # shape_enc backbone subtree → 'backbone' group
-            if len(path) >= 2 and path[0] == "shape_enc" and path[1] == "backbone":
-                return "backbone"
-            return "main"
 
-        return walk(params)
+    ``flat=True`` (default) runs one Adam on the raveled parameter vector
+    with a per-element group-scale — bit-equivalent update math, ~20x fewer
+    optimizer ops (see ``flatten_groupscale``).  ``flat=False`` keeps the
+    optax ``multi_transform`` tree form (and its checkpoint layout)."""
+    if flat:
+        return flatten_groupscale(
+            _base_opt(adamw, beta1, wd, amsgrad), _group_labels,
+            {"main": 1.0, "backbone": backbone_scale})
 
     opt = optax.multi_transform(
         {
@@ -60,14 +118,16 @@ def make_optimizer_e(adamw: bool = False, beta1: float = 0.5, wd: float = 0.0,
                 optax.scale(backbone_scale),
             ),
         },
-        label_fn,
+        _group_labels,
     )
     return opt
 
 
-def make_optimizer_d(beta1: float = 0.5, wd: float = 0.0, amsgrad: bool = True):
+def make_optimizer_d(beta1: float = 0.5, wd: float = 0.0, amsgrad: bool = True,
+                     flat: bool = True):
     """Discriminator optimizer: plain Adam (reference trainer.py:146)."""
-    return _base_opt(adamw=False, beta1=beta1, wd=wd, amsgrad=amsgrad)
+    base = _base_opt(adamw=False, beta1=beta1, wd=wd, amsgrad=amsgrad)
+    return flatten_groupscale(base) if flat else base
 
 
 def apply_updates_scaled(params, updates, lr):
