@@ -126,10 +126,14 @@ def build_parser(defaults: dict | None = None) -> argparse.ArgumentParser:
     a("--steps_per_call", type=int, default=16,
       help="train iterations executed per jitted dispatch (lax.scan). "
            ">1 amortizes the per-step host overhead of the remote-execution "
-           "path (~56 ms at b16/128²); semantics identical to 1 (same math, "
-           "same per-iteration prints).  Groups split automatically at "
-           "train_shape changes and epoch tails.  Default 16 = the measured "
-           "b48/128² optimum (TRAINBENCH); set 1 to disable scan dispatch")
+           "path (~56 ms at b16/128²).  Each step's math is unchanged, but "
+           "the per-step RNG keys come from one split of the group key, so "
+           "a run at N>1 is NOT sample-for-sample reproducible against "
+           "N=1 (different random streams, same distribution).  Groups "
+           "split automatically at train_shape changes and epoch tails. "
+           "Default 16 = the measured b48/128² optimum (TRAINBENCH); "
+           "set 1 for sequential-split RNG and the smallest traced graph "
+           "(CPU runs/tests)")
     a("--donate_state", action="store_true",
       help="donate the train-state buffers to the jitted step (in-place "
            "update).  Saves one state copy of HBM but measured 15-27%% "
