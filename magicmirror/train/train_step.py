@@ -421,11 +421,23 @@ def make_train_step(opt, diffRender, netE, netD, opt_e, opt_d, lpl,
         # change: finite-grad steps are bit-identical.)
         finD = _all_finite(gradD)
         finE = jnp.logical_and(_all_finite(gradE), _all_finite(new_stats))
-        new_params_d = _select(finD, new_params_d, state.params_d)
-        new_opt_d = _select(finD, new_opt_d, state.opt_state_d)
-        new_params_e = _select(finE, new_params_e, state.params_e)
-        new_opt_e = _select(finE, new_opt_e, state.opt_state_e)
-        new_stats = _select(finE, new_stats, state.stats_e)
+        # keep/skip via lax.cond, NOT per-leaf jnp.where: XLA's fusion pass
+        # re-materializes the whole ~400-op reduce_and chain behind each
+        # guard scalar INSIDE every per-leaf select fusion it feeds —
+        # measured 421k of 1.09M instructions in the optimized 8-dev dryrun
+        # module (19x the lowered size), the dominant cost of the 1-core
+        # gate compile (an optimization_barrier did not help: the CPU
+        # pipeline expands barriers before fusion).  Conditional bodies are
+        # un-fusable identity tuples, and at run time only one branch
+        # executes (docs/DESIGN.md round 5).
+        new_params_d, new_opt_d = jax.lax.cond(
+            finD,
+            lambda: (new_params_d, new_opt_d),
+            lambda: (state.params_d, state.opt_state_d))
+        new_params_e, new_opt_e, new_stats = jax.lax.cond(
+            finE,
+            lambda: (new_params_e, new_opt_e, new_stats),
+            lambda: (state.params_e, state.opt_state_e, state.stats_e))
 
         metrics = {"lossD": lossD, "lossD_real": d_aux[0],
                    "lossD_fake": d_aux[1], "lossD_gp": d_aux[2],
