@@ -10,7 +10,8 @@ import time
 os.environ["XLA_FLAGS"] = (
     "--xla_force_host_platform_device_count=8 "
     "--xla_backend_optimization_level=1 "
-    "--xla_llvm_disable_expensive_passes=true")
+    "--xla_llvm_disable_expensive_passes=true "
+    + os.environ.get("EXTRA_XLA_FLAGS", ""))
 
 import jax  # noqa: E402
 
